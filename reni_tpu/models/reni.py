@@ -1,0 +1,278 @@
+"""RENI model facade: the four decoder variants behind one functional API.
+
+Variants (matching the reference factory, src/models/RENI.py:861-933):
+{AutoDecoder, VariationalAutoDecoder} x {Cond-by-Concat, FiLM}, each with
+equivariance SO3 | SO2 | None.
+
+Parameters are a plain pytree:
+
+    {
+      "decoder": {"layers": [...], "final": {...} [, "mapping": {...}]},
+      "latents": {"Z": (S, N, 3)}                       # AutoDecoder
+                 | {"mu": (S, N, 3), "log_var": (S, N, 3)}  # VAD
+    }
+
+so optimisers, sharding and partial checkpoint restore are pytree filters.
+Latent initialisation matches the reference: Z / mu ~ N(0, 1),
+log_var ~ N(-5, 1) (RENI.py:184-188, 337-345); under ``fixed_decoder``
+mu/Z start at zero and only they are trainable (RENI.py:341-343).
+
+The public surface mirrors the reference's bare-model usage
+(examples.ipynb cell 4): build from config, partially load decoder weights
+with a fresh latent table of any size, then ``model.apply(params, Z, D)``.
+
+JAX-facing API (all jit-compatible):
+- ``model.init(key, dataset_size)`` -> params
+- ``model.apply(params, Z, D)`` -> radiance (B, npix, 3)
+- ``model.apply_idx(params, idx, D, key=None)`` -> radiance, sampling latents
+  for a VAD in training mode (reparameterised), using mu when fixed
+- ``model.sample_latent(params, idx, key)`` -> (Z, mu, log_var)
+- ``model.latents(params, idx)`` -> the deterministic latent rows (Z or mu)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from reni_tpu.core import encodings
+from reni_tpu.models import film, siren
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class RENIConfig:
+    """Static hyperparameters of the decoder (hashable, jit-friendly)."""
+
+    model_type: str = "VariationalAutoDecoder"  # AutoDecoder | VariationalAutoDecoder
+    conditioning: str = "Cond-by-Concat"  # Cond-by-Concat | FiLM
+    equivariance: str = "SO2"  # SO3 | SO2 | None
+    latent_dim: int = 49  # N (D = N x 3)
+    hidden_layers: int = 5
+    hidden_features: int = 256
+    out_features: int = 3
+    last_layer_linear: bool = True
+    output_activation: str | None = "tanh"  # tanh | exp | None
+    first_omega_0: float = 30.0
+    hidden_omega_0: float = 30.0
+    mapping_layers: int = 3
+    mapping_features: int = 256
+    fixed_decoder: bool = False
+
+    @property
+    def is_variational(self) -> bool:
+        return self.model_type == "VariationalAutoDecoder"
+
+    @property
+    def is_film(self) -> bool:
+        return self.conditioning == "FiLM"
+
+    @classmethod
+    def from_reni_cfg(cls, reni_cfg, task: str | None = None) -> "RENIConfig":
+        """Build from a config tree using the reference's key names
+        (configs/default.py:6-20); ``fixed_decoder`` follows the task rule
+        of the reference factory (RENI.py:874)."""
+        fixed = task in ("FIT_LATENT", "FIT_INVERSE") if task is not None else False
+        return cls(
+            model_type=reni_cfg.MODEL_TYPE,
+            conditioning=reni_cfg.CONDITIONING,
+            equivariance=str(reni_cfg.EQUIVARIANCE),
+            latent_dim=reni_cfg.LATENT_DIMENSION,
+            hidden_layers=reni_cfg.HIDDEN_LAYERS,
+            hidden_features=reni_cfg.HIDDEN_FEATURES,
+            out_features=reni_cfg.OUT_FEATURES,
+            last_layer_linear=reni_cfg.LAST_LAYER_LINEAR,
+            output_activation=reni_cfg.OUTPUT_ACTIVATION,
+            first_omega_0=reni_cfg.FIRST_OMEGA_0,
+            hidden_omega_0=reni_cfg.HIDDEN_OMEGA_0,
+            mapping_layers=reni_cfg.MAPPING_LAYERS,
+            mapping_features=reni_cfg.MAPPING_FEATURES,
+            fixed_decoder=fixed,
+        )
+
+
+class RENIModel:
+    """Functional model object: holds only static config, no state."""
+
+    def __init__(self, config: RENIConfig):
+        self.config = config
+
+    # -- init ---------------------------------------------------------------
+
+    def init_decoder(self, key) -> Params:
+        cfg = self.config
+        if cfg.is_film:
+            siren_in, mapping_in = encodings.film_in_features(
+                cfg.equivariance, cfg.latent_dim
+            )
+            return film.init_film_siren(
+                key,
+                siren_in,
+                mapping_in,
+                cfg.hidden_features,
+                cfg.hidden_layers,
+                cfg.mapping_layers,
+                cfg.mapping_features,
+                cfg.out_features,
+            )
+        in_features = encodings.concat_in_features(cfg.equivariance, cfg.latent_dim)
+        return siren.init_siren(
+            key,
+            in_features,
+            cfg.hidden_features,
+            cfg.hidden_layers,
+            cfg.out_features,
+            cfg.last_layer_linear,
+            cfg.first_omega_0,
+            cfg.hidden_omega_0,
+        )
+
+    def init_latents(self, key, dataset_size: int) -> Params:
+        cfg = self.config
+        shape = (dataset_size, cfg.latent_dim, 3)
+        if cfg.is_variational:
+            k_mu, k_lv = jax.random.split(key)
+            mu = (
+                jnp.zeros(shape)
+                if cfg.fixed_decoder
+                else jax.random.normal(k_mu, shape)
+            )
+            log_var = -5.0 + jax.random.normal(k_lv, shape)
+            return {"mu": mu, "log_var": log_var}
+        z = jnp.zeros(shape) if cfg.fixed_decoder else jax.random.normal(key, shape)
+        return {"Z": z}
+
+    def init(self, key, dataset_size: int) -> Params:
+        k_dec, k_lat = jax.random.split(key)
+        return {
+            "decoder": self.init_decoder(k_dec),
+            "latents": self.init_latents(k_lat, dataset_size),
+        }
+
+    # -- latents ------------------------------------------------------------
+
+    def latents(self, params: Params, idx=None) -> jnp.ndarray:
+        """Deterministic latent rows: mu for a VAD, Z for an AD."""
+        table = (
+            params["latents"]["mu"]
+            if self.config.is_variational
+            else params["latents"]["Z"]
+        )
+        return table if idx is None else table[idx]
+
+    def sample_latent(self, params: Params, idx, key):
+        """Reparameterised sample (VAD; reference RENI.py:329-335).
+        Returns (Z, mu, log_var) for the given index rows."""
+        if not self.config.is_variational:
+            z = params["latents"]["Z"][idx]
+            return z, z, jnp.zeros_like(z)
+        mu = params["latents"]["mu"][idx]
+        log_var = params["latents"]["log_var"][idx]
+        std = jnp.exp(0.5 * log_var)
+        eps = jax.random.normal(key, std.shape, std.dtype)
+        return mu + eps * std, mu, log_var
+
+    # -- forward ------------------------------------------------------------
+
+    def apply(self, params: Params, Z: jnp.ndarray, D: jnp.ndarray) -> jnp.ndarray:
+        """Decode radiance at directions D given latent codes Z.
+
+        Z: (B, N, 3); D: (B, npix, 3) or (1, npix, 3) broadcast over batch.
+        Returns (B, npix, out_features).
+        """
+        cfg = self.config
+        if D.shape[0] == 1 and Z.shape[0] != 1:
+            D = jnp.broadcast_to(D, (Z.shape[0],) + D.shape[1:])
+        if cfg.is_film:
+            return film.apply_film_decomposed(
+                params["decoder"],
+                cfg.equivariance,
+                Z,
+                D,
+                hidden_features=cfg.hidden_features,
+                output_activation=cfg.output_activation,
+            )
+        return siren.apply_siren_decomposed(
+            params["decoder"],
+            cfg.equivariance,
+            cfg.latent_dim,
+            Z,
+            D,
+            last_layer_linear=cfg.last_layer_linear,
+            output_activation=cfg.output_activation,
+            first_omega_0=cfg.first_omega_0,
+            hidden_omega_0=cfg.hidden_omega_0,
+        )
+
+    def apply_concat(self, params: Params, Z, D) -> jnp.ndarray:
+        """Reference-parity forward that materialises the concat encoding.
+        Used by tests to validate the decomposed path; O(npix * N^2) memory."""
+        cfg = self.config
+        if D.shape[0] == 1 and Z.shape[0] != 1:
+            D = jnp.broadcast_to(D, (Z.shape[0],) + D.shape[1:])
+        if cfg.is_film:
+            siren_in, mapping_in = encodings.film_inputs(cfg.equivariance, Z, D)
+            return film.apply_film_concat(
+                params["decoder"],
+                siren_in,
+                mapping_in,
+                hidden_features=cfg.hidden_features,
+                output_activation=cfg.output_activation,
+            )
+        x = encodings.invariant_representation(cfg.equivariance, Z, D)
+        return siren.apply_siren_concat(
+            params["decoder"],
+            x,
+            last_layer_linear=cfg.last_layer_linear,
+            output_activation=cfg.output_activation,
+            first_omega_0=cfg.first_omega_0,
+            hidden_omega_0=cfg.hidden_omega_0,
+        )
+
+    def apply_idx(self, params: Params, idx, D, key=None) -> jnp.ndarray:
+        """Decode for dataset rows ``idx`` — the reference's idx-dispatch
+        forward (RENI.py:205-233, 362-399). For a VAD with a trainable
+        decoder a PRNG key samples the latents; otherwise mu/Z are used."""
+        cfg = self.config
+        if cfg.is_variational and not cfg.fixed_decoder and key is not None:
+            Z, _, _ = self.sample_latent(params, idx, key)
+        else:
+            Z = self.latents(params, idx)
+        return self.apply(params, Z, D)
+
+    # -- trainable-parameter filter ----------------------------------------
+
+    def trainable_mask(self, params: Params) -> Params:
+        """Boolean pytree: which leaves are trainable for the current task.
+
+        fixed_decoder (FIT_LATENT / FIT_INVERSE): only mu (VAD) or Z (AD),
+        matching the reference optimiser (RENI_module.py:178-183). Otherwise
+        everything is trainable."""
+        cfg = self.config
+        if not cfg.fixed_decoder:
+            return jax.tree.map(lambda _: True, params)
+        mask = jax.tree.map(lambda _: False, params)
+        if cfg.is_variational:
+            mask["latents"]["mu"] = True
+        else:
+            mask["latents"]["Z"] = True
+        return mask
+
+
+def build_model(config: RENIConfig) -> RENIModel:
+    return RENIModel(config)
+
+
+def replace_latents(
+    model: RENIModel, params: Params, key, dataset_size: int
+) -> Params:
+    """Fresh latent table of a new size with the same decoder — the
+    cross-task partial restore (reference RENI.py:190-203, 347-360)."""
+    return {
+        "decoder": params["decoder"],
+        "latents": model.init_latents(key, dataset_size),
+    }
