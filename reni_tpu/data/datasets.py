@@ -1,0 +1,166 @@
+"""Environment-map datasets: host decode -> device-resident tensors.
+
+Replaces the reference's DataLoader pipeline (src/data/datasets.py) with a
+TPU-appropriate design: every image is decoded once on the host, the whole
+(small) dataset is staged to device HBM at each curriculum resolution, and
+the train loop indexes it with `lax.scan` — no per-step host<->device
+transfer at all.
+
+Behavioural parity with the reference:
+- `.exr` files listed with natural sort (datasets.py:44-46), decoded to
+  float32 RGB (OpenEXR via OpenCV);
+- LDR images via PIL, alpha dropped, scaled to [0, 1] (datasets.py:141-146);
+- `nan_to_num` after transforms (datasets.py:73);
+- log-domain dataset min/max discovery when the minmax arg is empty
+  (datasets.py:51-62, 90-101);
+- resolution doubling = re-resize from the native image (datasets.py:84-88
+  mutates the Resize transform; we cache a pyramid instead).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import jax.numpy as jnp
+
+from reni_tpu.data import transforms as T
+
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
+_HDR_EXTS = (".exr", ".hdr")
+_LDR_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tiff")
+
+
+def natsorted(names):
+    """Natural sort ('img2' < 'img10'), matching natsort.natsorted."""
+
+    def key(s):
+        return [int(t) if t.isdigit() else t.lower() for t in re.split(r"(\d+)", s)]
+
+    return sorted(names, key=key)
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Decode an EXR/HDR file to float32 RGB (H, W, 3).
+
+    .exr goes through the self-contained codec in `reni_tpu.data.exr`
+    (no native OpenEXR needed); .hdr through OpenCV/imageio."""
+    if path.lower().endswith(".exr"):
+        from reni_tpu.data import exr
+
+        img = exr.read(path)
+        if img.shape[-1] > 3:
+            img = img[..., :3]
+        return np.ascontiguousarray(img, dtype=np.float32)
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+    if img is None:
+        import imageio.v3 as iio
+
+        img = np.asarray(iio.imread(path))
+        if img.ndim == 3 and img.shape[-1] >= 3:
+            return img[..., :3].astype(np.float32)
+        return np.repeat(img[..., None], 3, axis=-1).astype(np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    return img[..., :3][..., ::-1].astype(np.float32)  # BGR -> RGB
+
+
+def read_ldr(path: str) -> np.ndarray:
+    """Decode an LDR image to float32 RGB in [0, 1], dropping alpha."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path), dtype=np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    img = img[..., :3]
+    if img.max() > 1.0:
+        img = img / 255.0
+    return img
+
+
+class EnvironmentMapDataset:
+    """A folder of environment maps, is_hdr selecting the decode path.
+
+    Parameters mirror `get_dataset` (reference datasets.py:169-173); the
+    transform list uses the reference's [[name, args], ...] config format
+    (resize is handled by the pyramid, normalisation by this class).
+    """
+
+    def __init__(
+        self,
+        dataset_path: str,
+        is_hdr: bool,
+        transform_config=None,
+        minmax=None,
+    ):
+        self.dataset_path = dataset_path
+        self.is_hdr = is_hdr
+        exts = _HDR_EXTS if is_hdr else _LDR_EXTS
+        files = [f for f in os.listdir(dataset_path) if f.lower().endswith(exts)]
+        self.img_names = natsorted(files)
+        if not self.img_names:
+            raise FileNotFoundError(f"no {'HDR' if is_hdr else 'LDR'} images in {dataset_path}")
+
+        reader = read_hdr if is_hdr else read_ldr
+        self._native = [
+            reader(os.path.join(dataset_path, n)) for n in self.img_names
+        ]
+
+        # resolve normalisation from the transform config
+        self.normalise = None
+        self.unnormalise = None
+        self._extra_transforms = []
+        for name, args in transform_config or []:
+            lname = name.lower()
+            if lname in ("minmaxnormalise", "minmaxormalise"):
+                mm = tuple(args) if len(args) else (minmax or T.compute_log_minmax(self._native))
+                self.minmax = mm
+                self.normalise = T.MinMaxNormalise(mm)
+                self.unnormalise = T.UnMinMaxNormalise(mm)
+            elif lname == "normalize":
+                mean, std = (args if len(args) == 2 and len(args[0]) else ([0.5] * 3, [0.5] * 3))
+                self.normalise = T.Normalise(mean, std)
+                self.unnormalise = T.UnNormalise(mean, std)
+            elif lname == "resize":
+                continue  # handled by the resolution pyramid
+            else:
+                self._extra_transforms.append(T.get_transform(name, args))
+
+        self._cache: dict[tuple[int, int], jnp.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self._native)
+
+    def images_at(self, resolution: tuple[int, int]) -> jnp.ndarray:
+        """Device array (S, H*W, 3) of transformed images at a resolution.
+
+        Pipeline per image: resize from native (bilinear, no antialias) ->
+        extra transforms -> normalise -> nan_to_num -> flatten."""
+        res = tuple(resolution)
+        if res in self._cache:
+            return self._cache[res]
+        h, w = res
+        out = []
+        for img in self._native:
+            x = T.resize_bilinear(img, h, w)
+            for f in self._extra_transforms:
+                x = f(x)
+            if self.normalise is not None:
+                x = self.normalise(x)
+            x = np.nan_to_num(x)
+            out.append(x.reshape(h * w, 3))
+        arr = jnp.asarray(np.stack(out).astype(np.float32))
+        self._cache[res] = arr
+        return arr
+
+
+def get_dataset(
+    dataset_name: str, dataset_path: str, transform_config, is_hdr: bool
+) -> EnvironmentMapDataset:
+    """Factory matching the reference dispatch (datasets.py:169-173)."""
+    hdr = dataset_name == "RENI_HDR" or (dataset_name == "CUSTOM" and is_hdr)
+    return EnvironmentMapDataset(dataset_path, hdr, transform_config)

@@ -1,0 +1,380 @@
+"""Training tasks as jit-scanned update loops.
+
+The reference drives three tasks through a PyTorch-Lightning trainer
+(src/lightning/RENI_module.py, run.py); here each task is a pure function:
+whole-dataset device residency, sequential fixed batches (the reference's
+DataLoader does not shuffle), and a **single compiled program per resolution
+stage** — ``lax.scan`` over epochs of ``lax.scan`` over batches. Multi-res
+curriculum = one such program per stage (3 compiles for the published
+config), exactly the static-shape plan from SURVEY §7.
+
+Ragged final batches are handled inside the scan by zero-masking: padded
+rows contribute exactly zero to every loss term (sineweight rows, mu/log_var
+rows, Z rows and the per-sample cosine term are all multiplied by the batch
+mask), which reproduces the reference's drop_last=False sum-over-batch
+semantics bit-for-bit while keeping one static shape.
+
+Tasks:
+- fit_decoder  (RENI_module.py training_step FIT_DECODER branch :80-146)
+- fit_latent   (FIT_LATENT branch; optional mask -> in-painting :92-94)
+- fit_inverse  (FIT_INVERSE branch; differentiable render loop :107-112)
+  — wired in reni_tpu.render, see `make_fit_inverse_step`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reni_tpu.core import sphere
+from reni_tpu.models.reni import RENIModel
+from reni_tpu.train import losses
+from reni_tpu.train.optim import (
+    OptimConfig,
+    build_optimizer,
+    merge_params,
+    partition_params,
+)
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    """Per-task training hyperparameters (configs/default.py:24-83)."""
+
+    task: str = "FIT_DECODER"  # FIT_DECODER | FIT_LATENT | FIT_INVERSE
+    optim: OptimConfig = OptimConfig()
+    batch_size: int = 1
+    epochs: int = 2400
+    multi_res_training: bool = True
+    initial_resolution: tuple[int, int] = (16, 32)
+    final_resolution: tuple[int, int] = (64, 128)
+    curriculum: tuple[int, ...] = (800, 1600)
+    # FIT_DECODER
+    kld_weighting: float = 1e-4
+    # FIT_LATENT / FIT_INVERSE
+    cosine_similarity_weight: float = 1e-4
+    prior_loss_weight: float = 1e-7
+    apply_mask: bool = False
+    mask_path: str | None = None
+    # FIT_INVERSE
+    render_resolution: int = 128
+    object_path: str | None = None
+    kd_value: float = 0.5
+
+    def validate(self):
+        """The reference's config asserts (RENI_module.py:360-361)."""
+        if self.multi_res_training:
+            assert max(self.curriculum) < self.epochs
+            h0, h1 = self.initial_resolution[0], self.final_resolution[0]
+            assert len(self.curriculum) >= math.log2(h1 / h0)
+
+    def resolution_stages(self) -> list[tuple[tuple[int, int], int]]:
+        """[(resolution, n_epochs)] — doubling at each curriculum epoch
+        (callbacks.py:12-29)."""
+        if not self.multi_res_training:
+            return [(tuple(self.final_resolution), self.epochs)]
+        stages = []
+        res = tuple(self.initial_resolution)
+        prev = 0
+        for c in self.curriculum:
+            if c > self.epochs:
+                break
+            stages.append((res, c - prev))
+            res = (res[0] * 2, res[1] * 2)
+            prev = c
+        stages.append((res, self.epochs - prev))
+        return [(r, n) for r, n in stages if n > 0]
+
+
+class TrainState(NamedTuple):
+    trainable: Params
+    frozen: Params
+    opt_state: Any
+    key: jax.Array
+
+    @property
+    def params(self) -> Params:
+        return merge_params(self.trainable, self.frozen)
+
+
+def init_train_state(model: RENIModel, params: Params, optimizer, key) -> TrainState:
+    trainable, frozen = partition_params(params, model.trainable_mask(params))
+    return TrainState(trainable, frozen, optimizer.init(trainable), key)
+
+
+# ---------------------------------------------------------------------------
+# batching
+# ---------------------------------------------------------------------------
+
+
+def make_batches(dataset_size: int, batch_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential fixed batches with a zero-masked ragged tail.
+
+    Returns (idx (nb, B) int32, mask (nb, B) f32)."""
+    nb = -(-dataset_size // batch_size)
+    idx = np.zeros((nb * batch_size,), dtype=np.int32)
+    idx[:dataset_size] = np.arange(dataset_size, dtype=np.int32)
+    mask = np.zeros((nb * batch_size,), dtype=np.float32)
+    mask[:dataset_size] = 1.0
+    return idx.reshape(nb, batch_size), mask.reshape(nb, batch_size)
+
+
+# ---------------------------------------------------------------------------
+# step builders
+# ---------------------------------------------------------------------------
+
+
+def make_fit_decoder_step(
+    model: RENIModel,
+    optimizer,
+    directions: jnp.ndarray,
+    sineweight: jnp.ndarray,
+    *,
+    kld_weighting: float,
+) -> Callable:
+    """One FIT_DECODER update. Batch = (imgs (B, P, 3), idx (B,), bmask (B,))."""
+    cfg = model.config
+    z_dims = 3 * cfg.latent_dim
+
+    def step(state: TrainState, batch):
+        imgs, idx, bmask = batch
+        key, sample_key = jax.random.split(state.key)
+        sw = sineweight * bmask[:, None, None]
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            if cfg.is_variational:
+                Z, mu, log_var = model.sample_latent(params, idx, sample_key)
+                mu = mu * bmask[:, None, None]
+                log_var = log_var * bmask[:, None, None]
+                out = model.apply(params, Z, directions)
+                loss, mse, kl = losses.reni_vad_train_loss(
+                    out, imgs, sw, mu, log_var, beta=kld_weighting, z_dims=z_dims
+                )
+                return loss, {"loss": loss, "mse_loss": mse, "kld_loss": kl}
+            Z = params["latents"]["Z"][idx]
+            out = model.apply(params, Z, directions)
+            loss = losses.reni_train_loss(out, imgs, sw)
+            return loss, {"loss": loss}
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.trainable)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        trainable = jax.tree.map(lambda p, u: p + u, state.trainable, updates)
+        return TrainState(trainable, state.frozen, opt_state, key), metrics
+
+    return step
+
+
+def make_fit_latent_step(
+    model: RENIModel,
+    optimizer,
+    directions: jnp.ndarray,
+    sineweight: jnp.ndarray,
+    *,
+    alpha: float,
+    beta: float,
+) -> Callable:
+    """One FIT_LATENT update (frozen decoder; deterministic mu/Z latents).
+
+    ``sineweight`` should already include the in-painting mask if any
+    (RENI_module.py:92-94)."""
+
+    def step(state: TrainState, batch):
+        imgs, idx, bmask = batch
+        key, _ = jax.random.split(state.key)
+        sw = sineweight * bmask[:, None, None]
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            Z = model.latents(params, idx) * bmask[:, None, None]
+            out = model.apply(params, Z, directions)
+            mse = losses.weighted_mse(out, imgs, sw)
+            prior = alpha * jnp.sum(Z**2)
+            cos_per = 1.0 - (losses._cosine_axis1(out, imgs) * sw[:, 0]).mean(axis=1)
+            cos = beta * (cos_per * bmask).sum()
+            loss = mse + prior + cos
+            return loss, {
+                "loss": loss,
+                "mse_loss": mse,
+                "prior_loss": prior,
+                "cosine_loss": cos,
+            }
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.trainable)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        trainable = jax.tree.map(lambda p, u: p + u, state.trainable, updates)
+        return TrainState(trainable, state.frozen, opt_state, key), metrics
+
+    return step
+
+
+def make_fit_inverse_step(
+    model: RENIModel,
+    optimizer,
+    directions: jnp.ndarray,
+    sineweight: jnp.ndarray,
+    render_fn: Callable,
+    unnormalise: Callable,
+    *,
+    alpha: float,
+    beta: float,
+) -> Callable:
+    """One FIT_INVERSE update: decode -> unnormalise -> differentiable render
+    -> loss vs ground-truth renders (RENI_module.py:107-112, 386-396).
+
+    render_fn: (envmaps (B, P, 3), sineweight (B, P, 3)) -> (B, H, W, 3).
+    Batch = (gt_renders (B, H, W, 3), idx (B,), bmask (B,))."""
+
+    def step(state: TrainState, batch):
+        gt_renders, idx, bmask = batch
+        key, _ = jax.random.split(state.key)
+        sw = sineweight * bmask[:, None, None]
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            Z = model.latents(params, idx) * bmask[:, None, None]
+            out = model.apply(params, Z, directions)
+            render = render_fn(unnormalise(out), sw)
+            bm = bmask[:, None, None, None]
+            mse = jnp.sum(bm * (render - gt_renders) ** 2) / (
+                jnp.sum(bmask) * np.prod(render.shape[1:])
+            )
+            prior = alpha * jnp.sum(Z**2)
+            cos_flat = losses._cosine_axis1(render * bm, gt_renders * bm)
+            cos_per = 1.0 - cos_flat.reshape(cos_flat.shape[0], -1).mean(axis=1)
+            cos = beta * (cos_per * bmask).sum() / jnp.maximum(jnp.sum(bmask), 1.0)
+            loss = mse + prior + cos
+            return loss, {
+                "loss": loss,
+                "mse_loss": mse,
+                "prior_loss": prior,
+                "cosine_loss": cos,
+            }
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.trainable)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        trainable = jax.tree.map(lambda p, u: p + u, state.trainable, updates)
+        return TrainState(trainable, state.frozen, opt_state, key), metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# stage runner: one compiled program per resolution stage
+# ---------------------------------------------------------------------------
+
+
+def run_stage(
+    step_fn: Callable,
+    state: TrainState,
+    images: jnp.ndarray,
+    n_epochs: int,
+    batch_size: int,
+) -> tuple[TrainState, dict]:
+    """scan(epochs) of scan(batches) of step_fn, one XLA program.
+
+    images: (S, P, 3) device array (already normalised, flattened).
+    Returns (state, metrics) with metrics values of shape (n_epochs,),
+    epoch values being the mean over batches (RENI_module.py:148-163)."""
+    dataset_size = images.shape[0]
+    idx, bmask = make_batches(dataset_size, batch_size)
+    imgs_b = images[jnp.asarray(idx)]  # (nb, B, P, 3)
+    idx_b = jnp.asarray(idx)
+    bmask_b = jnp.asarray(bmask)
+
+    def epoch_body(state, _):
+        def batch_body(state, batch):
+            return step_fn(state, batch)
+
+        state, ms = jax.lax.scan(batch_body, state, (imgs_b, idx_b, bmask_b))
+        return state, jax.tree.map(lambda x: x.mean(), ms)
+
+    @jax.jit
+    def run(state):
+        return jax.lax.scan(epoch_body, state, None, length=n_epochs)
+
+    state, metrics = run(state)
+    return state, metrics
+
+
+def fit_task(
+    model: RENIModel,
+    params: Params,
+    task_cfg: TaskConfig,
+    images_at: Callable[[tuple[int, int]], jnp.ndarray],
+    key,
+    *,
+    mask_path: str | None = None,
+    step_builder: Callable | None = None,
+    on_stage_end: Callable | None = None,
+) -> tuple[Params, dict]:
+    """Run a full task with its multi-resolution curriculum.
+
+    images_at(res) -> (S, H*W, 3) normalised images at that resolution.
+    Returns (params, metrics dict with (epochs,) arrays, reference-style
+    keys ``{task}_{name}``)."""
+    task_cfg.validate()
+    optim_cfg = task_cfg.optim
+    n_images = images_at(tuple(task_cfg.resolution_stages()[0][0])).shape[0]
+    steps_per_epoch = -(-n_images // task_cfg.batch_size)
+    optim_cfg = dataclasses.replace(
+        optim_cfg, epochs=task_cfg.epochs, steps_per_epoch=steps_per_epoch
+    )
+    optimizer = build_optimizer(optim_cfg)
+    state = init_train_state(model, params, optimizer, key)
+
+    all_metrics: list[dict] = []
+    for res, n_epochs in task_cfg.resolution_stages():
+        width = res[1]
+        directions = sphere.get_directions(width)
+        sineweight = sphere.get_sineweight(width)
+        if task_cfg.apply_mask and mask_path:
+            sineweight = sineweight * sphere.get_mask(width, mask_path)
+
+        if step_builder is not None:
+            step_fn = step_builder(model, optimizer, directions, sineweight, res)
+        elif task_cfg.task == "FIT_DECODER":
+            step_fn = make_fit_decoder_step(
+                model,
+                optimizer,
+                directions,
+                sineweight,
+                kld_weighting=task_cfg.kld_weighting,
+            )
+        elif task_cfg.task == "FIT_LATENT":
+            step_fn = make_fit_latent_step(
+                model,
+                optimizer,
+                directions,
+                sineweight,
+                alpha=task_cfg.prior_loss_weight,
+                beta=task_cfg.cosine_similarity_weight,
+            )
+        else:
+            raise ValueError(
+                f"task {task_cfg.task}: provide step_builder (FIT_INVERSE is "
+                "built by reni_tpu.render.inverse)"
+            )
+
+        images = images_at(res)
+        state, metrics = run_stage(
+            step_fn, state, images, n_epochs, task_cfg.batch_size
+        )
+        all_metrics.append(metrics)
+        if on_stage_end is not None:
+            on_stage_end(state, res)
+
+    merged = {
+        f"{task_cfg.task.lower()}_{k}": np.concatenate(
+            [np.asarray(m[k]) for m in all_metrics]
+        )
+        for k in all_metrics[0]
+    }
+    return state.params, merged

@@ -1,0 +1,164 @@
+"""Data-path tests: EXR/LDR round trips, minmax discovery, normalisation
+round trip (SURVEY §4 oracle d), resolution pyramid."""
+
+import os
+
+import numpy as np
+import pytest
+
+from reni_tpu.data import transforms as T
+from reni_tpu.data.datasets import EnvironmentMapDataset, natsorted, read_hdr
+
+
+def test_natsorted():
+    assert natsorted(["img10.exr", "img2.exr", "img1.exr"]) == [
+        "img1.exr",
+        "img2.exr",
+        "img10.exr",
+    ]
+
+
+def test_minmax_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.gamma(2.0, 1.0, size=(8, 16, 3)).astype(np.float32)
+    mm = (-5.0, 3.0)
+    norm = T.MinMaxNormalise(mm)
+    unnorm = T.UnMinMaxNormalise(mm)
+    x = norm(img)
+    back = np.asarray(unnorm(x))
+    clipped = T.clip_positive_finite(img)
+    np.testing.assert_allclose(back, clipped, rtol=1e-4)
+
+
+def test_normalise_roundtrip():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(8, 16, 3)).astype(np.float32)
+    norm = T.Normalise([0.5] * 3, [0.5] * 3)
+    unnorm = T.UnNormalise([0.5] * 3, [0.5] * 3)
+    np.testing.assert_allclose(np.asarray(unnorm(norm(img))), img, atol=1e-6)
+    np.testing.assert_allclose(norm(img).min(), 2 * img.min() - 1, atol=1e-6)
+
+
+def test_compute_log_minmax_matches_reference_scan():
+    """Per-image clip -> log -> global min/max (reference datasets.py:90-101)."""
+    rng = np.random.default_rng(2)
+    imgs = [rng.gamma(1.0, float(s), size=(4, 8, 3)).astype(np.float32) for s in (0.1, 10)]
+    imgs[0][0, 0, 0] = 0.0  # zero must be clipped to min positive, not -inf
+    lo, hi = T.compute_log_minmax(imgs)
+    assert np.isfinite(lo) and np.isfinite(hi)
+    expect_hi = max(np.log(i.max()) for i in imgs)
+    np.testing.assert_allclose(hi, expect_hi, rtol=1e-6)
+
+
+def _write_exr(path, img):
+    from reni_tpu.data import exr
+
+    exr.write(path, img, pixel_type="float", compression="ZIP")
+
+
+def test_exr_decode_roundtrip(tmp_path):
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(3)
+    img = rng.gamma(2.0, 1.0, size=(8, 16, 3)).astype(np.float32)
+    for comp in ("NONE", "ZIPS", "ZIP"):
+        for ptype, tol in (("float", 1e-7), ("half", 1e-2)):
+            p = str(tmp_path / f"test_{comp}_{ptype}.exr")
+            exr.write(p, img, pixel_type=ptype, compression=comp)
+            back = read_hdr(p)
+            assert back.shape == (8, 16, 3)
+            np.testing.assert_allclose(back, img, rtol=tol, atol=tol)
+
+
+def test_exr_odd_height_zip_chunking(tmp_path):
+    """ZIP chunks are 16 scanlines; a 19-row image exercises the tail chunk."""
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(30)
+    img = rng.gamma(2.0, 1.0, size=(19, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "odd.exr")
+    exr.write(p, img, pixel_type="float", compression="ZIP")
+    np.testing.assert_allclose(exr.read(p), img, rtol=1e-6)
+
+
+def test_exr_grayscale(tmp_path):
+    from reni_tpu.data import exr
+
+    img = np.linspace(0, 4, 32, dtype=np.float32).reshape(4, 8)
+    p = str(tmp_path / "gray.exr")
+    exr.write(p, img, pixel_type="float")
+    back = exr.read(p)
+    assert back.shape == (4, 8, 3)
+    np.testing.assert_allclose(back[..., 0], img, rtol=1e-6)
+
+
+def test_hdr_dataset_pipeline(tmp_path):
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        img = rng.gamma(2.0, 1.0, size=(32, 64, 3)).astype(np.float32)
+        _write_exr(str(tmp_path / f"env{i}.exr"), img)
+
+    ds = EnvironmentMapDataset(
+        str(tmp_path), is_hdr=True, transform_config=[["minmaxnormalise", []]]
+    )
+    assert len(ds) == 3
+    assert ds.minmax[0] < ds.minmax[1]
+    imgs = ds.images_at((8, 16))
+    assert imgs.shape == (3, 128, 3)
+    arr = np.asarray(imgs)
+    assert arr.min() >= -1.0 - 1e-5 and arr.max() <= 1.0 + 1e-5
+    # pyramid: doubling gives 4x pixels and caches
+    big = ds.images_at((16, 32))
+    assert big.shape == (3, 512, 3)
+    assert ds.images_at((8, 16)) is imgs
+
+
+def test_hdr_dataset_fixed_minmax(tmp_path):
+    rng = np.random.default_rng(5)
+    _write_exr(str(tmp_path / "a.exr"), rng.gamma(2.0, 1.0, size=(8, 16, 3)).astype(np.float32))
+    ds = EnvironmentMapDataset(
+        str(tmp_path),
+        is_hdr=True,
+        transform_config=[["minmaxnormalise", [-18.0536, 11.4633]]],
+    )
+    assert ds.minmax == (-18.0536, 11.4633)
+    # values nowhere near the bounds -> narrow band inside [-1, 1]
+    arr = np.asarray(ds.images_at((8, 16)))
+    assert arr.min() > -1.0 and arr.max() < 1.0
+
+
+def test_ldr_dataset_pipeline(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    for i in range(2):
+        arr = (rng.uniform(size=(16, 32, 4)) * 255).astype(np.uint8)  # RGBA
+        Image.fromarray(arr, "RGBA").save(str(tmp_path / f"img{i}.png"))
+
+    ds = EnvironmentMapDataset(
+        str(tmp_path),
+        is_hdr=False,
+        transform_config=[["normalize", [[0.5] * 3, [0.5] * 3]]],
+    )
+    imgs = np.asarray(ds.images_at((8, 16)))
+    assert imgs.shape == (2, 128, 3)  # alpha dropped
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+    back = np.asarray(ds.unnormalise(imgs))
+    assert back.min() >= 0.0 and back.max() <= 1.0
+
+
+def test_resize_matches_torch_bilinear():
+    """cv2 INTER_LINEAR == torch bilinear antialias=False (half-pixel)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(16, 32, 3)).astype(np.float32)
+    ours = T.resize_bilinear(img, 8, 16)
+    t = torch.from_numpy(img).permute(2, 0, 1)[None]
+    theirs = (
+        F.interpolate(t, size=(8, 16), mode="bilinear", align_corners=False)[0]
+        .permute(1, 2, 0)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
