@@ -1,0 +1,149 @@
+"""Benchmark: directional samples/sec/chip through the flagship RENI train
+step (SIREN fwd+bwd+adam), the reference's hot loop (SURVEY §3.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol (BASELINE.md): count directions evaluated per second per chip
+through the decoder forward+backward. Workload = published config: VAD,
+Cond-by-Concat, SO2, N=49, 5x256 SIREN, tanh; batch 100 at 64x128
+(819,200 directional samples per optimizer step, as in the reference's
+final curriculum stage).
+
+``vs_baseline`` is measured live against a faithful torch re-implementation
+of the reference's computation (concat encoding + SIREN + VAD loss, Adam)
+run on this host's CPU — the only reference runtime available in this
+environment (the reference's own 4xGPU numbers are unpublished).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def bench_jax(batch: int = 100, width: int = 128, steps: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from reni_tpu.core import sphere
+    from reni_tpu.models.reni import RENIModel
+    from reni_tpu.train import tasks
+    from reni_tpu.train.optim import OptimConfig, build_optimizer
+    from __graft_entry__ import FLAGSHIP
+
+    model = RENIModel(FLAGSHIP)
+    params = model.init(jax.random.PRNGKey(0), dataset_size=batch)
+    directions = sphere.get_directions(width)
+    sineweight = sphere.get_sineweight(width)
+    npix = directions.shape[1]
+
+    optimizer = build_optimizer(
+        OptimConfig(lr_start=1e-5, lr_end=1e-7, epochs=2400, steps_per_epoch=1)
+    )
+    step = jax.jit(
+        tasks.make_fit_decoder_step(
+            model, optimizer, directions, sineweight, kld_weighting=1e-4
+        )
+    )
+    state = tasks.init_train_state(model, params, optimizer, jax.random.PRNGKey(1))
+    images = jax.random.normal(jax.random.PRNGKey(2), (batch, npix, 3), jnp.float32)
+    batch_data = (images, jnp.arange(batch), jnp.ones((batch,), jnp.float32))
+
+    # warmup/compile
+    state, _ = step(state, batch_data)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch_data)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return batch * npix * steps / dt
+
+
+def bench_torch_reference(batch: int = 10, width: int = 64, steps: int = 5) -> float:
+    """Reference-equivalent computation in torch (CPU): concat SO2 encoding
+    -> 6-layer SIREN -> tanh -> sineweighted MSE + KLD -> Adam step."""
+    import math
+
+    import torch
+
+    torch.manual_seed(0)
+    N, hidden, layers = 49, 256, 5
+    in_features = 2 * N + N * N + 2
+    npix = (width // 2) * width
+
+    ws, bs = [], []
+    dims = [in_features] + [hidden] * layers + [3]
+    for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+        bound = 1.0 / a if i == 0 else math.sqrt(6.0 / a) / 30.0
+        ws.append(torch.empty(a, b).uniform_(-bound, bound).requires_grad_())
+        bs.append(torch.zeros(b).requires_grad_())
+    mu = torch.randn(batch, N, 3, requires_grad=True)
+    log_var = torch.full((batch, N, 3), -5.0, requires_grad=True)
+
+    u = (torch.arange(1, width + 1, dtype=torch.float32) - 0.5) / (width // 2)
+    v = (torch.arange(1, width // 2 + 1, dtype=torch.float32) - 0.5) / (width // 2)
+    vg, ug = torch.meshgrid(v, u, indexing="ij")
+    theta, phi = math.pi * (ug.reshape(-1) - 1), math.pi * vg.reshape(-1)
+    D = torch.stack(
+        (torch.sin(phi) * torch.sin(theta), torch.cos(phi), -torch.sin(phi) * torch.cos(theta)),
+        -1,
+    )[None].repeat(batch, 1, 1)
+    sw = torch.sin(phi)[None, :, None].repeat(batch, 1, 3)
+    target = torch.randn(batch, npix, 3)
+
+    opt = torch.optim.Adam([mu, log_var] + ws + bs, lr=1e-5)
+
+    def train_step():
+        opt.zero_grad()
+        Z = mu + torch.randn_like(mu) * torch.exp(0.5 * log_var)
+        Z_xz = torch.stack((Z[:, :, 0], Z[:, :, 2]), -1)
+        D_xz = torch.stack((D[:, :, 0], D[:, :, 2]), -1)
+        G = torch.bmm(Z_xz, Z_xz.transpose(1, 2)).flatten(1)[:, None].repeat(1, npix, 1)
+        ip = torch.bmm(D_xz, Z_xz.transpose(1, 2))
+        dn = (D[:, :, 0] ** 2 + D[:, :, 2] ** 2).sqrt()[..., None]
+        zy = Z[:, :, 1][:, None].repeat(1, npix, 1)
+        x = torch.cat((ip, G, dn, zy, D[:, :, 1][..., None]), 2)
+        for w, b in zip(ws[:-1], bs[:-1]):
+            x = torch.sin(30.0 * (x @ w + b))
+        out = torch.tanh(x @ ws[-1] + bs[-1])
+        mse = (((out - target) ** 2) * sw).view(batch, -1).mean(1).sum()
+        kld = (
+            -0.5 * (1 + log_var - mu**2 - log_var.exp()).view(batch, -1).sum(1) / (3 * N)
+        ).sum()
+        loss = mse + 1e-4 * kld
+        loss.backward()
+        opt.step()
+
+    train_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step()
+    dt = time.perf_counter() - t0
+    return batch * npix * steps / dt
+
+
+def main():
+    value = bench_jax()
+    try:
+        baseline = bench_torch_reference()
+        vs = value / baseline
+    except Exception:
+        vs = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "directional_samples_per_sec_per_chip_siren_fwd_bwd",
+                "value": round(value, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

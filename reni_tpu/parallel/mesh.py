@@ -1,0 +1,111 @@
+"""Device mesh and sharding layout.
+
+The reference's only distribution strategy is DDP data parallelism over
+4 GPUs via NCCL (reference: run.py:94-97); there is no tensor/pipeline/
+expert parallelism to mirror (SURVEY §2c). The TPU-native equivalent is a
+2-D ``jax.sharding.Mesh``:
+
+- ``data`` axis: batch dimension of images/indices — classic DP. Gradients
+  for the replicated parameters (decoder weights *and* the latent table,
+  whose per-row grads are nonzero only for local batch rows) are combined by
+  the psum XLA inserts — exactly DDP's all-reduce, riding ICI.
+- ``pixel`` axis: the H*W direction dimension — the natural "sequence
+  parallel" analog for a spherical field (SURVEY §2c): every direction is
+  independent, so sharding it is communication-free until the loss
+  reduction's psum. Used for large-resolution decodes/renders.
+
+Everything goes through ``jax.jit`` with NamedShardings (GSPMD); no manual
+collectives are needed for the training path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int = -1, n_pixel: int = 1, devices=None
+) -> Mesh:
+    """Build a ('data', 'pixel') mesh. n_data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data == -1:
+        assert n % n_pixel == 0, (n, n_pixel)
+        n_data = n // n_pixel
+    assert n_data * n_pixel <= n, (n_data, n_pixel, n)
+    grid = np.array(devices[: n_data * n_pixel]).reshape(n_data, n_pixel)
+    return Mesh(grid, axis_names=("data", "pixel"))
+
+
+def batch_sharding(mesh: Mesh) -> tuple[NamedSharding, NamedSharding, NamedSharding]:
+    """(imgs (B, P, 3), idx (B,), bmask (B,)) shardings for one batch."""
+    return (
+        NamedSharding(mesh, P("data", "pixel", None)),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P("data")),
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_stage_data(mesh: Mesh, imgs_b, idx_b, bmask_b):
+    """Place stacked per-stage batches (nb, B, P, 3) / (nb, B) on the mesh
+    with batch on 'data' and the direction axis on 'pixel'."""
+    s_imgs = NamedSharding(mesh, P(None, "data", "pixel", None))
+    s_idx = NamedSharding(mesh, P(None, "data"))
+    return (
+        jax.device_put(imgs_b, s_imgs),
+        jax.device_put(idx_b, s_idx),
+        jax.device_put(bmask_b, s_idx),
+    )
+
+
+def sharded_stage_runner(mesh: Mesh):
+    """A drop-in for `tasks.run_stage` that pins the state replicated and the
+    scanned data sharded, letting GSPMD insert the DP psum."""
+    import jax.numpy as jnp
+
+    from reni_tpu.train import tasks as _tasks
+
+    def run_stage(step_fn, state, images, n_epochs, batch_size):
+        dataset_size = images.shape[0]
+        # batch must split evenly over the data axis; extra rows are
+        # zero-masked, which the tasks layer treats exactly
+        batch_size = pad_batch_to(batch_size, mesh.shape["data"])
+        idx, bmask = _tasks.make_batches(dataset_size, batch_size)
+        imgs_b = jnp.asarray(images)[jnp.asarray(idx)]
+        imgs_b, idx_b, bmask_b = shard_stage_data(
+            mesh, imgs_b, jnp.asarray(idx), jnp.asarray(bmask)
+        )
+        rep = replicated(mesh)
+        state = jax.device_put(state, rep)
+
+        def epoch_body(state, _):
+            state, ms = jax.lax.scan(
+                lambda s, b: step_fn(s, b), state, (imgs_b, idx_b, bmask_b)
+            )
+            return state, jax.tree.map(lambda x: x.mean(), ms)
+
+        @jax.jit
+        def run(state):
+            return jax.lax.scan(epoch_body, state, None, length=n_epochs)
+
+        state, metrics = run(state)
+        return state, metrics
+
+    return run_stage
+
+
+def pad_batch_to(batch_size: int, multiple: int) -> int:
+    """Batch sizes must divide evenly across the data axis; padded rows are
+    zero-masked by the tasks layer, so rounding up is exact."""
+    return -(-batch_size // multiple) * multiple
+
+
+Params = dict[str, Any]

@@ -1,0 +1,131 @@
+"""Checkpoint save/restore with cross-task partial (decoder-only) loading.
+
+The reference persists Lightning checkpoints carrying ``hyper_parameters.
+config`` plus the state dict, and its custom ``load_state_dict`` strips
+prefixes and restores *only the decoder* when ``fixed_decoder`` so a fresh
+latent table of any size can be attached (reference: src/models/RENI.py:
+190-203, 347-360; run.py:79-84, 112-113 for task chaining).
+
+Here a checkpoint is a .npz of path-flattened pytree leaves plus a JSON
+sidecar of metadata (config, task, epoch, metrics). Decoder-only restore is
+a pytree filter: take the ``decoder`` subtree, re-init ``latents``.
+
+No framework dependency (orbax would also work, but a flat .npz is
+transparent, versionless and fast at this model size ~1 MB).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from reni_tpu.models.reni import RENIConfig, RENIModel
+
+Params = dict[str, Any]
+
+_SEP = "/"
+
+
+def _flatten(tree, prefix="") -> dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}{_SEP}"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[: -len(_SEP)]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]):
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_checkpoint(
+    path: str,
+    params: Params,
+    *,
+    model_config: RENIConfig | None = None,
+    metadata: dict | None = None,
+) -> None:
+    """Write ``path``.npz (leaves) and ``path``.json (config + metadata)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+    meta = dict(metadata or {})
+    if model_config is not None:
+        meta["model_config"] = dataclasses.asdict(model_config)
+    with open(_json_path(path), "w") as f:
+        json.dump(meta, f, indent=2, default=float)
+
+
+def _json_path(path: str) -> str:
+    base = path[: -len(".npz")] if path.endswith(".npz") else path
+    return base + ".json"
+
+
+def _npz_path(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def load_checkpoint(path: str) -> tuple[Params, dict]:
+    """-> (params pytree, metadata dict with optional 'model_config')."""
+    with np.load(_npz_path(path)) as npz:
+        flat = {k: npz[k] for k in npz.files}
+    params = _unflatten(flat)
+    meta = {}
+    if os.path.exists(_json_path(path)):
+        with open(_json_path(path)) as f:
+            meta = json.load(f)
+    return jax.tree.map(jax.numpy.asarray, params), meta
+
+
+def load_model_config(path: str, **overrides) -> RENIConfig:
+    """Rebuild the RENIConfig stored in a checkpoint (the reference's
+    ``chkpt['hyper_parameters']['config']`` pattern, examples.ipynb cell 4)."""
+    _, meta = _meta_only(path)
+    cfg = dict(meta["model_config"])
+    cfg.update(overrides)
+    return RENIConfig(**cfg)
+
+
+def _meta_only(path: str) -> tuple[None, dict]:
+    with open(_json_path(path)) as f:
+        return None, json.load(f)
+
+
+def load_decoder_only(
+    path: str, model: RENIModel, dataset_size: int, key
+) -> Params:
+    """Decoder weights from the checkpoint + a fresh latent table sized for
+    the new dataset — the reference's fixed_decoder partial restore."""
+    saved, _ = load_checkpoint(path)
+    return {
+        "decoder": saved["decoder"],
+        "latents": model.init_latents(key, dataset_size),
+    }

@@ -314,16 +314,28 @@ def fit_task(
     mask_path: str | None = None,
     step_builder: Callable | None = None,
     on_stage_end: Callable | None = None,
+    mesh=None,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
 
     images_at(res) -> (S, H*W, 3) normalised images at that resolution.
+    With ``mesh`` (a ('data', 'pixel') jax.sharding.Mesh) the stage runs
+    data/pixel-sharded via GSPMD; batch size is rounded up to the data-axis
+    size (padded rows are zero-masked, so this is exact).
     Returns (params, metrics dict with (epochs,) arrays, reference-style
     keys ``{task}_{name}``)."""
     task_cfg.validate()
+    batch_size = task_cfg.batch_size
+    stage_runner = run_stage
+    if mesh is not None:
+        from reni_tpu.parallel.mesh import pad_batch_to, sharded_stage_runner
+
+        batch_size = pad_batch_to(batch_size, mesh.shape["data"])
+        stage_runner = sharded_stage_runner(mesh)
+
     optim_cfg = task_cfg.optim
     n_images = images_at(tuple(task_cfg.resolution_stages()[0][0])).shape[0]
-    steps_per_epoch = -(-n_images // task_cfg.batch_size)
+    steps_per_epoch = -(-n_images // batch_size)
     optim_cfg = dataclasses.replace(
         optim_cfg, epochs=task_cfg.epochs, steps_per_epoch=steps_per_epoch
     )
@@ -364,8 +376,8 @@ def fit_task(
             )
 
         images = images_at(res)
-        state, metrics = run_stage(
-            step_fn, state, images, n_epochs, task_cfg.batch_size
+        state, metrics = stage_runner(
+            step_fn, state, images, n_epochs, batch_size
         )
         all_metrics.append(metrics)
         if on_stage_end is not None:

@@ -1,0 +1,179 @@
+"""Config tree with the reference's exact key names, YAML-overlayable.
+
+A lightweight replacement for yacs (reference: configs/default.py): a nested
+attribute-dict created from defaults, deep-merged from a YAML file. The key
+names and defaults reproduce configs/default.py:1-139 verbatim so published
+experiment YAMLs (e.g. the reference's configs/experiment.yaml) load
+unchanged; keys the TPU build does not use (e.g. WANDB) are accepted and
+ignored by the trainer.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+
+class Config(dict):
+    """dict with attribute access and yacs-style merge, e.g. cfg.RENI.TASKS
+    and cfg.RENI[task].BATCH_SIZE both work."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    @staticmethod
+    def _wrap(value):
+        if isinstance(value, dict) and not isinstance(value, Config):
+            return Config({k: Config._wrap(v) for k, v in value.items()})
+        return value
+
+    def merge_from_dict(self, other: dict) -> "Config":
+        for k, v in other.items():
+            if isinstance(v, dict) and isinstance(self.get(k), Config):
+                self[k].merge_from_dict(v)
+            else:
+                self[k] = Config._wrap(v)
+        return self
+
+    def merge_from_file(self, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        return self.merge_from_dict(data)
+
+    def clone(self) -> "Config":
+        return Config._wrap(copy.deepcopy(dict(self)))
+
+    def to_dict(self) -> dict:
+        return {
+            k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self.items()
+        }
+
+
+_TASK_COMMON = dict(
+    LR_START=1e-2,
+    LR_END=1e-5,
+    OPTIMIZER="adam",
+    OPTIMIZER_BETA_1=0.0,
+    OPTIMIZER_BETA_2=0.999,
+    SCHEDULER_TYPE="exponential",
+    SCHEDULER_STEP_SIZE=1,
+    SCHEDULER_GAMMA=1,
+    BATCH_SIZE=1,
+    EPOCHS=1200,
+    MULTI_RES_TRAINING=True,
+    INITAL_RESOLUTION=[16, 32],  # sic — the reference's spelling
+    FINAL_RESOLUTION=[64, 128],
+    CURRICULUM=[25, 80, 150],
+)
+
+_DEFAULTS = {
+    "RENI": {
+        "TASKS": ["FIT_DECODER", "FIT_LATENT"],
+        "MODEL_TYPE": "VariationalAutoDecoder",
+        "CONDITIONING": "FiLM",
+        "EQUIVARIANCE": "SO2",
+        "LATENT_DIMENSION": 36,
+        "HIDDEN_LAYERS": 5,
+        "HIDDEN_FEATURES": 256,
+        "OUT_FEATURES": 3,
+        "LAST_LAYER_LINEAR": True,
+        "OUTPUT_ACTIVATION": None,
+        "FIRST_OMEGA_0": 30.0,
+        "HIDDEN_OMEGA_0": 30.0,
+        "MAPPING_LAYERS": 3,
+        "MAPPING_FEATURES": 256,
+        "FIT_DECODER": {
+            **_TASK_COMMON,
+            "LR_START": 1e-5,
+            "LR_END": 1e-7,
+            "EPOCHS": 2400,
+            "KLD_WEIGHTING": 1e-4,
+        },
+        "FIT_LATENT": {
+            **_TASK_COMMON,
+            "COSINE_SIMILARITY_WEIGHT": 1e-4,
+            "PRIOR_LOSS_WEIGHT": 1e-7,
+            "APPLY_MASK": False,
+            "MASK_PATH": "data/Masks/Mask-3.png",
+        },
+        "FIT_INVERSE": {
+            **_TASK_COMMON,
+            "MULTI_RES_TRAINING": False,
+            "COSINE_SIMILARITY_WEIGHT": 1e-4,
+            "PRIOR_LOSS_WEIGHT": 1e-7,
+            "RENDERER": "JAX",
+            "RENDER_RESOLUTION": 64,
+            "OBJECT_PATH": "data/3D_Models/teapot.obj",
+            "KD_VALUE": 1.0,
+        },
+    },
+    "DATASET": {
+        "NAME": "RENI_HDR",
+        "RENI_HDR": {
+            "PATH": "data/RENI_HDR",
+            "TRANSFORMS": [["minmaxnormalise", [-18.0536, 11.4633]]],
+            "IS_HDR": True,
+        },
+        "RENI_LDR": {"PATH": "data/RENI_LDR", "TRANSFORMS": [], "IS_HDR": False},
+        "CUSTOM": {"PATH": "data/custom", "TRANSFORMS": [], "IS_HDR": False},
+    },
+    "TRAINER": {
+        "LOGGER_TYPE": "tensorboard",
+        "SEED": 42,
+        "MIXED_PRECISION": False,
+        "MAX_RUNTIME": 24,
+        "CHKPTS": {
+            "SAVE": True,
+            "SAVE_DIR": "checkpoints",
+            "EVERY_N_EPOCHS": 10,
+            "LOAD_PATH": None,
+        },
+        "LOGGER": {
+            "LOG_IMAGES": True,
+            "NUMBER_OF_IMAGES": 10,
+            "IMAGES_TO_SHOW": "noise",
+            "EPOCHS_BETWEEN_EXAMPLES": 1,
+            "WANDB": {
+                "NAME": "RENI",
+                "PROJECT": "RENI",
+                "SAVE_DIR": "wandb",
+                "OFFLINE": False,
+                "LOG_MODEL": True,
+            },
+            "TB": {"SAVE_DIR": "models", "NAME": "auto", "LOG_GRAPH": True},
+        },
+    },
+    # TPU-specific extensions (absent from the reference; defaults preserve
+    # single-chip behaviour)
+    "TPU": {
+        "MESH": {"DATA": -1, "PIXEL": 1},  # -1: all devices on the data axis
+        "USE_PALLAS": False,
+        "PRECISION": "float32",  # float32 | bfloat16 trunk
+    },
+}
+
+
+def get_cfg_defaults() -> Config:
+    """Default config tree (mirrors configs/default.py:136-139)."""
+    return Config._wrap(copy.deepcopy(_DEFAULTS))
+
+
+def experiment_name(config: Config) -> str:
+    """Auto experiment naming matching run.py:43-49."""
+    c = config.RENI
+    return (
+        f"latent_dim_{c.LATENT_DIMENSION}_net_"
+        f"{c.HIDDEN_LAYERS}_{c.HIDDEN_FEATURES}_"
+        f"{'vad' if c.MODEL_TYPE == 'VariationalAutoDecoder' else 'ad'}_"
+        f"{'cbc' if c.CONDITIONING == 'Cond-by-Concat' else 'film'}_"
+        f"{c.OUTPUT_ACTIVATION}_"
+        f"{'hdr' if config.DATASET[config.DATASET.NAME].IS_HDR else 'ldr'}"
+    )
