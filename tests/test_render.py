@@ -1,0 +1,213 @@
+"""Rendering subsystem tests: OBJ/mesh math, rasterizer (native == numpy
+oracle), shading physics oracles, differentiability, and an end-to-end
+FIT_INVERSE fit on a synthetic scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reni_tpu.core import sphere
+from reni_tpu.render import mesh as mesh_lib
+from reni_tpu.render import rasterizer as rast
+from reni_tpu.render import shading
+
+
+def test_load_obj(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "f 1//1 2//2 3//3\nf 2/1/1 4/2/2 3/3/3\nf -4 -3 -2\n"
+    )
+    m = mesh_lib.load_obj(str(obj))
+    assert m.verts.shape == (4, 3)
+    assert m.faces.shape == (3, 3)
+    np.testing.assert_array_equal(m.faces[2], [0, 1, 2])  # negative indices
+
+
+def test_load_obj_quad_triangulation(tmp_path):
+    obj = tmp_path / "quad.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+    m = mesh_lib.load_obj(str(obj))
+    assert m.faces.shape == (2, 3)
+
+
+def test_vertex_normals_sphere():
+    """UV-sphere vertex normals must point radially outward."""
+    m = mesh_lib.make_uv_sphere(12, 24)
+    vn = mesh_lib.vertex_normals(m)
+    radial = m.verts / np.linalg.norm(m.verts, axis=-1, keepdims=True)
+    dots = (vn * radial).sum(-1)
+    interior = np.abs(m.verts[:, 1]) < 0.99  # poles are degenerate dup verts
+    assert dots[interior].min() > 0.97
+
+
+def test_look_at_camera_eye():
+    r, t, eye = mesh_lib.look_at(2.0, 0.0, 0.0)
+    np.testing.assert_allclose(eye, [0, 0, 2], atol=1e-6)
+    # origin maps to (0, 0, dist) in view space
+    np.testing.assert_allclose(np.zeros(3) @ r + t, [0, 0, 2.0], atol=1e-6)
+    # a point between camera and origin has smaller view z
+    p = np.array([[0.0, 0.0, 1.0]], dtype=np.float32)
+    assert (p @ r + t)[0, 2] == pytest.approx(1.0)
+
+
+def test_rasterizer_native_matches_numpy_oracle():
+    m = mesh_lib.make_torus()
+    r, t, _ = mesh_lib.look_at(2.0)
+    ndc = mesh_lib.fov_project(m.verts @ r + t)
+    f_np = rast.rasterize_ndc(ndc, m.faces, 64, 64, backend="numpy")
+    try:
+        f_cc = rast.rasterize_ndc(ndc, m.faces, 64, 64, backend="native")
+    except RuntimeError:
+        pytest.skip("no C++ toolchain")
+    same = f_cc.pix_to_face == f_np.pix_to_face
+    # allow rare z-fighting ties on silhouette pixels
+    assert same.mean() > 0.995, same.mean()
+    cover = f_cc.pix_to_face >= 0
+    np.testing.assert_allclose(
+        f_cc.bary_coords[same & cover[..., None][..., 0]],
+        f_np.bary_coords[same & cover],
+        atol=1e-4,
+    )
+
+
+def test_rasterizer_sphere_coverage_and_bary():
+    """A unit sphere at dist 2 with fov 60 subtends ~30 deg half-angle =
+    exactly the fov half-angle -> projected disk fills the image width."""
+    m = mesh_lib.make_uv_sphere(24, 48)
+    frags, eye = rast.rasterize_world(m, 64, dist=2.0)
+    cover = frags.pix_to_face >= 0
+    assert 0.5 < cover.mean() < 0.95
+    # barycentrics sum to 1 on covered pixels
+    s = frags.bary_coords.sum(-1)[cover]
+    np.testing.assert_allclose(s, 1.0, atol=1e-3)
+    # center pixel depth ~ dist - radius
+    c = 32
+    assert frags.zbuf[c, c] == pytest.approx(1.0, abs=0.05)
+
+
+def test_shading_single_light_lambertian():
+    """One light from +z onto a unit sphere: diffuse = kd * clamp(n_z) * C."""
+    m = mesh_lib.make_uv_sphere(24, 48)
+    frags, eye = rast.rasterize_world(m, 32, dist=2.0)
+    vn = mesh_lib.vertex_normals(m)
+    positions, normals = shading.pixel_geometry(frags, m.face_verts, vn[m.faces])
+
+    light_dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    light_colors = jnp.asarray([[[1.0, 1.0, 1.0]]])  # (1, 1, 3)
+    out = shading.blinn_phong_env_shading(
+        normals,
+        positions,
+        jnp.asarray(eye),
+        light_dirs,
+        light_colors,
+        kd=1.0,
+        ks=0.0,
+        shininess=500.0,
+        chunk=1,
+    )
+    out = np.asarray(out)[0]
+    nz = np.clip(np.asarray(normals)[..., 2], 0, 1)
+    np.testing.assert_allclose(out[..., 0], nz, atol=1e-4)
+    # all three channels identical for white light
+    np.testing.assert_allclose(out[..., 0], out[..., 1], atol=1e-6)
+
+
+def test_shading_chunking_invariance():
+    """Chunk size must not change the result (pure accumulation)."""
+    m = mesh_lib.make_torus()
+    frags, eye = rast.rasterize_world(m, 24, dist=2.0)
+    vn = mesh_lib.vertex_normals(m)
+    positions, normals = shading.pixel_geometry(frags, m.face_verts, vn[m.faces])
+    width = 16
+    dirs = sphere.get_directions(width)[0]
+    rng = np.random.default_rng(0)
+    colors = jnp.asarray(rng.gamma(2.0, 1.0, size=(2, dirs.shape[0], 3)).astype(np.float32))
+    args = (normals, positions, jnp.asarray(eye), dirs, colors)
+    a = shading.blinn_phong_env_shading(*args, kd=0.5, ks=0.5, chunk=7)
+    b = shading.blinn_phong_env_shading(*args, kd=0.5, ks=0.5, chunk=128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_shading_gradients_flow_to_light_colors():
+    m = mesh_lib.make_uv_sphere(8, 16)
+    frags, eye = rast.rasterize_world(m, 16, dist=2.0)
+    vn = mesh_lib.vertex_normals(m)
+    positions, normals = shading.pixel_geometry(frags, m.face_verts, vn[m.faces])
+    dirs = sphere.get_directions(8)[0]
+
+    def loss(colors):
+        out = shading.blinn_phong_env_shading(
+            normals, positions, jnp.asarray(eye), dirs, colors, kd=0.5, ks=0.5
+        )
+        return jnp.sum(out**2)
+
+    colors = jnp.ones((1, dirs.shape[0], 3))
+    g = jax.grad(loss)(colors)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_fit_inverse_end_to_end():
+    """Recover latents of a frozen decoder through the renderer: loss must
+    decrease and gradients must reach only mu."""
+    from reni_tpu.models.reni import RENIConfig, RENIModel
+    from reni_tpu.render.inverse import InverseRenderSetup, fit_inverse
+    from reni_tpu.train import tasks
+    from reni_tpu.train.optim import OptimConfig
+
+    model = RENIModel(
+        RENIConfig(
+            model_type="VariationalAutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+            fixed_decoder=True,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=2)
+
+    width = 16
+    d = np.asarray(sphere.get_directions(width))[0]
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(
+        np.stack(
+            [np.tanh(d @ rng.normal(size=(3, 3))) * 0.5 for _ in range(2)]
+        ).astype(np.float32)
+    )
+
+    setup = InverseRenderSetup(
+        mesh_lib.make_uv_sphere(8, 16),
+        render_resolution=16,
+        kd=0.5,
+        light_chunk=64,
+    )
+    cfg = tasks.TaskConfig(
+        task="FIT_INVERSE",
+        optim=OptimConfig(lr_start=5e-2, lr_end=1e-2),
+        batch_size=2,
+        epochs=30,
+        multi_res_training=False,
+        final_resolution=(8, 16),
+        prior_loss_weight=1e-7,
+        cosine_similarity_weight=1e-3,
+    )
+    new_params, metrics = fit_inverse(
+        model,
+        params,
+        cfg,
+        lambda res: images,
+        lambda x: x,  # identity unnormalise for the synthetic data
+        jax.random.PRNGKey(2),
+        setup=setup,
+    )
+    hist = metrics["fit_inverse_loss"]
+    assert hist[-1] < hist[0]
+    assert not np.allclose(np.asarray(new_params["latents"]["mu"]), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(params["latents"]["log_var"]),
+        np.asarray(new_params["latents"]["log_var"]),
+    )
