@@ -1,0 +1,235 @@
+"""Config-driven multi-task trainer — the reference's run.py as a CLI.
+
+Usage:
+    python -m reni_tpu.cli.run --cfg_path configs/experiment.yaml
+    python -m reni_tpu.cli.run --cfg_path ... --mesh 4x2   # data x pixel
+
+Behavioural parity with reference run.py:29-138:
+- auto experiment naming from hyperparameters (run.py:43-49);
+- seeding (run.py:61);
+- task-order assert: FIT_DECODER must come first unless a checkpoint is
+  given (run.py:65-67);
+- per-task checkpoints every N epochs, keeping the best 2 by
+  ``{task}_loss`` (run.py:79-84);
+- the best FIT_DECODER checkpoint chains into the following tasks
+  (run.py:112-113);
+- FIT_DECODER trains on the Train/ split, other tasks on Test/
+  (RENI_module.py:278-280).
+
+TPU differences: the trainer is jit-scanned (no Lightning), distribution is
+a --mesh flag (data x pixel axes) instead of DDP process spawning, and
+metrics stream to JSONL + TensorBoard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from reni_tpu.data.datasets import get_dataset
+from reni_tpu.models.reni import RENIConfig, RENIModel
+from reni_tpu.train import checkpoint as ckpt
+from reni_tpu.train import tasks
+from reni_tpu.train.logging_utils import MetricLogger
+from reni_tpu.train.visualize import example_images
+from reni_tpu.utils.config import experiment_name, get_cfg_defaults
+
+
+class _BestTracker:
+    """save_top_k=2 checkpointing by monitored loss (run.py:79-84)."""
+
+    def __init__(self, save_dir: str, task: str, model_config, keep: int = 2):
+        self.save_dir = save_dir
+        self.task = task
+        self.model_config = model_config
+        self.keep = keep
+        self.saved: list[tuple[float, str]] = []
+
+    def maybe_save(self, params, epoch: int, loss: float):
+        path = os.path.join(
+            self.save_dir, f"{self.task.lower()}_epoch={epoch:04d}"
+        )
+        ckpt.save_checkpoint(
+            path,
+            params,
+            model_config=self.model_config,
+            metadata={"task": self.task, "epoch": epoch, "loss": float(loss)},
+        )
+        self.saved.append((float(loss), path))
+        self.saved.sort(key=lambda t: t[0])
+        while len(self.saved) > self.keep:
+            _, worst = self.saved.pop()
+            for ext in (".npz", ".json"):
+                try:
+                    os.remove(worst + ext)
+                except OSError:
+                    pass
+
+    @property
+    def best_path(self) -> str | None:
+        return self.saved[0][1] if self.saved else None
+
+
+def run_task(
+    config,
+    task: str,
+    dataset,
+    logger: MetricLogger,
+    chkpt_path: str | None,
+    mesh=None,
+):
+    model_cfg = RENIConfig.from_reni_cfg(config.RENI, task)
+    model = RENIModel(model_cfg)
+    key = jax.random.PRNGKey(int(config.TRAINER.SEED))
+    k_init, k_fit, k_img = jax.random.split(key, 3)
+
+    if chkpt_path is not None:
+        params = ckpt.load_decoder_only(chkpt_path, model, len(dataset), k_init)
+    else:
+        params = model.init(k_init, len(dataset))
+
+    task_cfg = tasks.TaskConfig.from_config(config, task)
+
+    save_dir = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR)
+    tracker = _BestTracker(save_dir, task, model_cfg)
+    every = int(config.TRAINER.CHKPTS.EVERY_N_EPOCHS)
+    log_images = bool(config.TRAINER.LOGGER.LOG_IMAGES)
+    img_every = int(config.TRAINER.LOGGER.EPOCHS_BETWEEN_EXAMPLES)
+    cb_every = min(every, img_every) if log_images else every
+
+    is_hdr = bool(config.DATASET[config.DATASET.NAME].IS_HDR)
+
+    def callback(params_now, epoch, metrics_chunk, res):
+        loss = float(np.asarray(metrics_chunk["loss"])[-1])
+        logged = {
+            f"{task.lower()}_{k}": float(np.asarray(v)[-1])
+            for k, v in metrics_chunk.items()
+        }
+        logger.log_scalars(epoch, logged)
+        if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
+            tracker.maybe_save(params_now, epoch, loss)
+        if log_images and epoch % img_every == 0:
+            mode = config.TRAINER.LOGGER.IMAGES_TO_SHOW
+            grid = example_images(
+                model,
+                params_now,
+                res,
+                mode=mode,
+                n_images=int(config.TRAINER.LOGGER.NUMBER_OF_IMAGES),
+                key=k_img,
+                dataset_images=dataset.images_at(res),
+                unnormalise=dataset.unnormalise,
+                is_hdr=is_hdr,
+            )
+            logger.log_image(f"{task.lower()}_images", grid, epoch)
+
+    if task == "FIT_INVERSE":
+        from reni_tpu.render.inverse import fit_inverse
+
+        params, metrics = fit_inverse(
+            model,
+            params,
+            task_cfg,
+            dataset.images_at,
+            dataset.unnormalise,
+            k_fit,
+            mesh=mesh,
+        )
+        for e in range(task_cfg.epochs):
+            logger.log_scalars(
+                e + 1, {k: float(v[e]) for k, v in metrics.items()}
+            )
+    else:
+        params, metrics = tasks.fit_task(
+            model,
+            params,
+            task_cfg,
+            dataset.images_at,
+            k_fit,
+            mask_path=task_cfg.mask_path if task_cfg.apply_mask else None,
+            mesh=mesh,
+            callback_every=cb_every,
+            callback=callback,
+        )
+
+    final = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR,
+                         f"{task.lower()}_final")
+    ckpt.save_checkpoint(
+        final,
+        params,
+        model_config=model_cfg,
+        metadata={"task": task, "epoch": task_cfg.epochs,
+                  "loss": float(metrics[f"{task.lower()}_loss"][-1])},
+    )
+    best = tracker.best_path or final
+    return params, metrics, best
+
+
+def main(config, mesh=None):
+    save_dir = config.TRAINER.LOGGER.TB.SAVE_DIR
+    name = (
+        experiment_name(config)
+        if config.TRAINER.LOGGER.TB.NAME == "auto"
+        else config.TRAINER.LOGGER.TB.NAME
+    )
+    version = 0
+    while os.path.exists(os.path.join(save_dir, name, f"version_{version}")):
+        version += 1
+    log_dir = os.path.join(save_dir, name, f"version_{version}")
+    logger = MetricLogger(log_dir)
+
+    tasks_list = list(config.RENI.TASKS)
+    load_path = config.TRAINER.CHKPTS.LOAD_PATH
+    if len(tasks_list) > 1 and load_path is None:
+        assert tasks_list[0] == "FIT_DECODER", (
+            "FIT_DECODER must run first unless TRAINER.CHKPTS.LOAD_PATH is set"
+        )
+    if tasks_list and tasks_list[0] != "FIT_DECODER":
+        assert load_path is not None, (
+            "non-FIT_DECODER first task requires TRAINER.CHKPTS.LOAD_PATH"
+        )
+
+    chkpt_path = load_path
+    results = {}
+    for task in tasks_list:
+        dataset_name = config.DATASET.NAME
+        dcfg = config.DATASET[dataset_name]
+        split = "Train" if task == "FIT_DECODER" else "Test"
+        split_path = os.path.join(dcfg.PATH, split)
+        if not os.path.isdir(split_path):
+            split_path = dcfg.PATH  # flat dataset layout
+        dataset = get_dataset(dataset_name, split_path, dcfg.TRANSFORMS, dcfg.IS_HDR)
+
+        params, metrics, best = run_task(
+            config, task, dataset, logger, chkpt_path, mesh=mesh
+        )
+        results[task] = (params, metrics)
+        if task == "FIT_DECODER":
+            chkpt_path = best
+
+    logger.close()
+    return results, log_dir
+
+
+def _parse_mesh(spec: str | None):
+    if not spec:
+        return None
+    from reni_tpu.parallel.mesh import make_mesh
+
+    nd, np_ = (int(x) for x in spec.lower().split("x"))
+    return make_mesh(n_data=nd, n_pixel=np_)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_path", type=str, default="configs/experiment.yaml")
+    parser.add_argument(
+        "--mesh", type=str, default=None, help="device mesh as DATAxPIXEL, e.g. 4x2"
+    )
+    args = parser.parse_args()
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(args.cfg_path)
+    main(cfg, mesh=_parse_mesh(args.mesh))

@@ -58,11 +58,19 @@ class Normalise:
 
 
 class UnNormalise:
+    """Inverse channel normalisation; accepts channel-last (..., C) or the
+    reference's channel-first (B, C, H, W) layout (custom_transforms.py:23-39)."""
+
     def __init__(self, mean, std):
         self.mean = np.asarray(mean, dtype=np.float32)
         self.std = np.asarray(std, dtype=np.float32)
 
     def __call__(self, img):
+        c = self.mean.shape[0]
+        if img.ndim == 4 and img.shape[1] == c and img.shape[-1] != c:
+            mean = self.mean.reshape(1, c, 1, 1)
+            std = self.std.reshape(1, c, 1, 1)
+            return img * std + mean
         return img * self.std + self.mean
 
 

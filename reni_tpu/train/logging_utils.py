@@ -1,0 +1,77 @@
+"""Metrics and image logging: JSONL always, TensorBoard when available.
+
+Replaces the reference's PL TensorBoard/W&B logging (reference: run.py:32-59,
+src/lightning/RENI_module.py:148-163) with the same metric names
+(``{task}_loss`` etc.) so dashboards are comparable. Scalars are recorded to
+``metrics.jsonl`` unconditionally; TensorBoard event files are written via
+torch.utils.tensorboard when importable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
+
+    def log_scalars(self, step: int, scalars: dict) -> None:
+        rec = {"step": int(step)}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), int(step))
+
+    def log_image(self, tag: str, image_hwc: np.ndarray, step: int) -> None:
+        """image_hwc: (H, W, 3) float in [0, 1]. Saved as PNG + TB image."""
+        from PIL import Image
+
+        arr = np.clip(np.asarray(image_hwc), 0.0, 1.0)
+        img8 = (arr * 255).astype(np.uint8)
+        imgdir = os.path.join(self.log_dir, "images")
+        os.makedirs(imgdir, exist_ok=True)
+        Image.fromarray(img8).save(os.path.join(imgdir, f"{tag}_{step:06d}.png"))
+        if self._tb is not None:
+            self._tb.add_image(tag, img8, int(step), dataformats="HWC")
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def make_grid(
+    images: np.ndarray, nrow: int = 5, pad: int = 2, pad_value: float = 2.0
+) -> np.ndarray:
+    """(B, H, W, 3) -> tiled (H', W', 3) grid (torchvision make_grid layout,
+    callbacks.py:50,127)."""
+    images = np.asarray(images)
+    b, h, w, c = images.shape
+    ncol = min(nrow, b)
+    nrows = -(-b // ncol)
+    grid = np.full(
+        (nrows * (h + pad) + pad, ncol * (w + pad) + pad, c),
+        pad_value,
+        dtype=images.dtype,
+    )
+    for i in range(b):
+        r, col = divmod(i, ncol)
+        y, x = pad + r * (h + pad), pad + col * (w + pad)
+        grid[y : y + h, x : x + w] = images[i]
+    return grid

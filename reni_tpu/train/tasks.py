@@ -68,6 +68,47 @@ class TaskConfig:
     object_path: str | None = None
     kd_value: float = 0.5
 
+    @classmethod
+    def from_config(cls, config, task: str) -> "TaskConfig":
+        """Build from a reference-format config tree: config.RENI[task]
+        (configs/default.py:24-83; key spellings preserved, including
+        INITAL_RESOLUTION)."""
+        t = config.RENI[task]
+        optim = OptimConfig(
+            lr_start=float(t.LR_START),
+            lr_end=float(t.LR_END),
+            optimizer=t.OPTIMIZER,
+            beta1=float(t.OPTIMIZER_BETA_1),
+            beta2=float(t.OPTIMIZER_BETA_2),
+            scheduler_type=t.SCHEDULER_TYPE,
+            scheduler_step_size=int(t.SCHEDULER_STEP_SIZE),
+            scheduler_gamma=float(t.SCHEDULER_GAMMA),
+            epochs=int(t.EPOCHS),
+        )
+        kwargs = dict(
+            task=task,
+            optim=optim,
+            batch_size=int(t.BATCH_SIZE),
+            epochs=int(t.EPOCHS),
+            multi_res_training=bool(t.MULTI_RES_TRAINING),
+            initial_resolution=tuple(t.INITAL_RESOLUTION),
+            final_resolution=tuple(t.FINAL_RESOLUTION),
+            curriculum=tuple(t.CURRICULUM or ()),
+        )
+        if task == "FIT_DECODER":
+            kwargs["kld_weighting"] = float(t.KLD_WEIGHTING)
+        else:
+            kwargs["cosine_similarity_weight"] = float(t.COSINE_SIMILARITY_WEIGHT)
+            kwargs["prior_loss_weight"] = float(t.PRIOR_LOSS_WEIGHT)
+        if task == "FIT_LATENT":
+            kwargs["apply_mask"] = bool(t.APPLY_MASK)
+            kwargs["mask_path"] = t.MASK_PATH
+        if task == "FIT_INVERSE":
+            kwargs["render_resolution"] = int(t.RENDER_RESOLUTION)
+            kwargs["object_path"] = t.OBJECT_PATH
+            kwargs["kd_value"] = float(t.KD_VALUE)
+        return cls(**kwargs)
+
     def validate(self):
         """The reference's config asserts (RENI_module.py:360-361)."""
         if self.multi_res_training:
@@ -315,6 +356,8 @@ def fit_task(
     step_builder: Callable | None = None,
     on_stage_end: Callable | None = None,
     mesh=None,
+    callback_every: int | None = None,
+    callback: Callable | None = None,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
 
@@ -322,6 +365,12 @@ def fit_task(
     With ``mesh`` (a ('data', 'pixel') jax.sharding.Mesh) the stage runs
     data/pixel-sharded via GSPMD; batch size is rounded up to the data-axis
     size (padded rows are zero-masked, so this is exact).
+
+    ``callback(params, epoch, metrics_chunk, res)`` fires every
+    ``callback_every`` epochs (and at stage ends) — the hook for periodic
+    checkpointing / example-image logging; the scan is segmented at callback
+    boundaries (same compiled program re-executed).
+
     Returns (params, metrics dict with (epochs,) arrays, reference-style
     keys ``{task}_{name}``)."""
     task_cfg.validate()
@@ -343,6 +392,7 @@ def fit_task(
     state = init_train_state(model, params, optimizer, key)
 
     all_metrics: list[dict] = []
+    epoch_offset = 0
     for res, n_epochs in task_cfg.resolution_stages():
         width = res[1]
         directions = sphere.get_directions(width)
@@ -376,10 +426,22 @@ def fit_task(
             )
 
         images = images_at(res)
-        state, metrics = stage_runner(
-            step_fn, state, images, n_epochs, batch_size
-        )
-        all_metrics.append(metrics)
+        if callback is None or not callback_every:
+            state, metrics = stage_runner(
+                step_fn, state, images, n_epochs, batch_size
+            )
+            all_metrics.append(metrics)
+        else:
+            done = 0
+            while done < n_epochs:
+                seg = min(callback_every, n_epochs - done)
+                state, metrics = stage_runner(
+                    step_fn, state, images, seg, batch_size
+                )
+                done += seg
+                all_metrics.append(metrics)
+                callback(state.params, epoch_offset + done, metrics, res)
+        epoch_offset += n_epochs
         if on_stage_end is not None:
             on_stage_end(state, res)
 

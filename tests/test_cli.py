@@ -1,0 +1,88 @@
+"""End-to-end trainer test: the full multi-task chain (FIT_DECODER ->
+FIT_LATENT) through the CLI entry on a tiny synthetic LDR dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from reni_tpu.cli.run import main
+from reni_tpu.utils.config import get_cfg_defaults
+
+
+@pytest.fixture()
+def tiny_dataset(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for split, n in (("Train", 5), ("Test", 3)):
+        d = tmp_path / "ldr" / split
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = (rng.uniform(size=(16, 32, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(d / f"img{i}.png"))
+    return str(tmp_path / "ldr")
+
+
+def _tiny_config(tmp_path, dataset_path):
+    cfg = get_cfg_defaults()
+    cfg.RENI.TASKS = ["FIT_DECODER", "FIT_LATENT"]
+    cfg.RENI.MODEL_TYPE = "VariationalAutoDecoder"
+    cfg.RENI.CONDITIONING = "Cond-by-Concat"
+    cfg.RENI.LATENT_DIMENSION = 4
+    cfg.RENI.HIDDEN_LAYERS = 1
+    cfg.RENI.HIDDEN_FEATURES = 16
+    cfg.RENI.OUTPUT_ACTIVATION = None
+    for task in ("FIT_DECODER", "FIT_LATENT"):
+        t = cfg.RENI[task]
+        t.EPOCHS = 12
+        t.BATCH_SIZE = 4
+        t.MULTI_RES_TRAINING = True
+        t.INITAL_RESOLUTION = [8, 16]
+        t.FINAL_RESOLUTION = [16, 32]
+        t.CURRICULUM = [6]
+        t.LR_START = 1e-3
+        t.LR_END = 1e-4
+    cfg.DATASET.NAME = "RENI_LDR"
+    cfg.DATASET.RENI_LDR.PATH = dataset_path
+    cfg.DATASET.RENI_LDR.TRANSFORMS = [["normalize", [[0.5] * 3, [0.5] * 3]]]
+    cfg.TRAINER.CHKPTS.EVERY_N_EPOCHS = 6
+    cfg.TRAINER.LOGGER.EPOCHS_BETWEEN_EXAMPLES = 6
+    cfg.TRAINER.LOGGER.NUMBER_OF_IMAGES = 2
+    cfg.TRAINER.LOGGER.IMAGES_TO_SHOW = "random"
+    cfg.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / "runs")
+    return cfg
+
+
+def test_full_multi_task_chain(tmp_path, tiny_dataset):
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    results, log_dir = main(cfg)
+
+    assert set(results) == {"FIT_DECODER", "FIT_LATENT"}
+    # decoder params of the two tasks are identical (frozen chain)
+    p_dec = results["FIT_DECODER"][0]
+    p_lat = results["FIT_LATENT"][0]
+    # the latent task reloads the *best* decoder checkpoint, which may be any
+    # epoch's weights — verify structure and that latents were optimised
+    assert p_lat["latents"]["mu"].shape == (3, 4, 3)
+    assert not np.allclose(np.asarray(p_lat["latents"]["mu"]), 0.0)
+
+    # metrics recorded for both tasks with reference-style names
+    m = results["FIT_DECODER"][1]
+    assert m["fit_decoder_loss"].shape == (12,)
+    assert "fit_latent_loss" in results["FIT_LATENT"][1]
+
+    # artifacts: jsonl, checkpoints, example images
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+    cks = os.listdir(os.path.join(log_dir, "checkpoints"))
+    assert any(c.startswith("fit_decoder") for c in cks)
+    assert any(c.startswith("fit_latent_final") for c in cks)
+    imgs = os.listdir(os.path.join(log_dir, "images"))
+    assert any(i.startswith("fit_decoder_images") for i in imgs)
+
+
+def test_task_order_assertion(tmp_path, tiny_dataset):
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    cfg.RENI.TASKS = ["FIT_LATENT", "FIT_DECODER"]
+    with pytest.raises(AssertionError):
+        main(cfg)
