@@ -1,0 +1,305 @@
+"""Fused encoding+SIREN Pallas kernel — the north-star hot path (SURVEY §6).
+
+The decoder train step is HBM-bound under plain XLA: each of the six
+(M, 256) activation tensors makes HBM round trips in forward and backward
+(~10 GB/step at the published workload). This kernel keeps the whole trunk
+in VMEM per pixel tile:
+
+- input per pixel is only the 4-wide decomposed direction features
+  (see reni_tpu.core.encodings) — 16 B/sample instead of a 1 KB h0 row;
+- the per-image latent contraction A = proj @ W_ip and first-layer bias are
+  tiny (4 x 256 per image) and computed in XLA outside the kernel, so the
+  kernel stays differentiable w.r.t. Z and the first-layer weight through
+  the chain rule on (A, bias0);
+- hidden layers run as VMEM-resident (TM, H) @ (H, H) MXU matmuls
+  (optionally bf16 inputs with f32 accumulation); sin stays f32;
+- backward recomputes activations per tile (flash-style) and accumulates
+  weight gradients across the sequential TPU grid into constant-indexed
+  output blocks.
+
+Grid: (B, npix / TM). Outputs are channel-padded to 8 lanes; callers slice
+[..., :3].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_PAD = 8  # output channels padded to one sublane group
+K_PAD = 8  # direction-feature width padded (actual <= 4)
+
+
+def _matmul(a, b, trunk_dtype):
+    if trunk_dtype is not None:
+        a = a.astype(trunk_dtype)
+        b = b.astype(trunk_dtype)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot(a, b, dims, trunk_dtype):
+    """dot_general with optional bf16 inputs, f32 accumulation."""
+    if trunk_dtype is not None:
+        a = a.astype(trunk_dtype)
+        b = b.astype(trunk_dtype)
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _fwd_kernel(
+    d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, out_ref,
+    *, n_hidden, omega0, omega_h, trunk_dtype,
+):
+    d = d_ref[...]  # (TM, K_PAD)
+    h = jnp.sin(omega0 * (_matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]))
+    for i in range(n_hidden):
+        z = _matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]
+        h = jnp.sin(omega_h * z)
+    out_ref[0] = _matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0]
+
+
+def _bwd_kernel(
+    d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, g_ref,
+    da_ref, db0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref,
+    *, n_hidden, omega0, omega_h, trunk_dtype,
+):
+    b = pl.program_id(0)
+    pt = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, pt == 0))
+    def _():
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+        dbs_ref[...] = jnp.zeros_like(dbs_ref)
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dbf_ref[...] = jnp.zeros_like(dbf_ref)
+
+    @pl.when(pt == 0)
+    def _():
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db0_ref[...] = jnp.zeros_like(db0_ref)
+
+    d = d_ref[...]  # (TM, K_PAD)
+    # recompute forward, stashing pre-activations' cos and activations
+    z0 = _matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]
+    hs = [jnp.sin(omega0 * z0)]
+    zs = [z0]
+    for i in range(n_hidden):
+        z = _matmul(hs[-1], ws_ref[i], trunk_dtype) + bs_ref[i]
+        zs.append(z)
+        hs.append(jnp.sin(omega_h * z))
+
+    g = g_ref[0]  # (TM, C_PAD)
+    # final linear
+    dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
+    dbf_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)  # (TM, H)
+
+    for i in reversed(range(n_hidden)):
+        dz = dh * (omega_h * jnp.cos(omega_h * zs[i + 1]))
+        dws_ref[i] += _dot(hs[i], dz, ((0,), (0,)), trunk_dtype)
+        dbs_ref[i] += jnp.sum(dz, axis=0)
+        dh = _dot(dz, ws_ref[i], ((1,), (1,)), trunk_dtype)
+
+    dz0 = dh * (omega0 * jnp.cos(omega0 * zs[0]))
+    da_ref[0] += _dot(d, dz0, ((0,), (0,)), trunk_dtype)
+    db0_ref[0] += jnp.sum(dz0, axis=0)
+
+
+def make_fused_siren(
+    n_hidden: int,
+    hidden: int,
+    omega0: float,
+    omega_h: float,
+    *,
+    tile: int = 512,
+    trunk_dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Build the fused decoder trunk:
+
+        f(d_pad (npix, 8), A (B, 8, H), b0 (B, H), Ws (L, H, H), bs (L, H),
+          Wf (H, 8), bf (1, 8)) -> (B, npix, 8)
+
+    Differentiable in everything except d_pad (directions are constants).
+    """
+    kw = dict(
+        n_hidden=n_hidden, omega0=omega0, omega_h=omega_h, trunk_dtype=trunk_dtype
+    )
+
+    def fwd_call(d_pad, a, b0, ws, bs, wf, bf):
+        batch, npix = a.shape[0], d_pad.shape[0]
+        tm = min(tile, npix)
+        assert npix % tm == 0, (npix, tm)
+        grid = (batch, npix // tm)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, K_PAD), lambda b, p: (p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, npix, C_PAD), jnp.float32),
+            interpret=interpret,
+        )(d_pad, a, b0, ws, bs, wf, bf)
+
+    def bwd_call(d_pad, a, b0, ws, bs, wf, bf, g):
+        batch, npix = a.shape[0], d_pad.shape[0]
+        tm = min(tile, npix)
+        grid = (batch, npix // tm)
+        out_shapes = (
+            jax.ShapeDtypeStruct(a.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b0.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ws.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bs.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bf.shape, jnp.float32),
+        )
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, K_PAD), lambda b, p: (p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(d_pad, a, b0, ws, bs, wf, bf, g)
+
+    @jax.custom_vjp
+    def fused(d_pad, a, b0, ws, bs, wf, bf):
+        return fwd_call(d_pad, a, b0, ws, bs, wf, bf)
+
+    def fused_fwd(d_pad, a, b0, ws, bs, wf, bf):
+        out = fwd_call(d_pad, a, b0, ws, bs, wf, bf)
+        return out, (d_pad, a, b0, ws, bs, wf, bf)
+
+    def fused_bwd(res, g):
+        d_pad, a, b0, ws, bs, wf, bf = res
+        da, db0, dws, dbs, dwf, dbf = bwd_call(d_pad, a, b0, ws, bs, wf, bf, g)
+        return jnp.zeros_like(d_pad), da, db0, dws, dbs, dwf, dbf
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# model-facing wrapper: pack RENI concat-layout params into kernel layout
+# ---------------------------------------------------------------------------
+
+
+def pack_inputs(params, equivariance: str, ndims: int, Z, d_feats):
+    """XLA-side prep: per-image A/bias0 from the first-layer weight split
+    (differentiable w.r.t. Z and the decoder), padded kernel weights."""
+    from reni_tpu.models import siren as siren_lib
+
+    layer0 = params["layers"][0]
+    w_ip, w_bias, w_direct = siren_lib.split_first_layer(
+        layer0["w"], equivariance, ndims
+    )
+    from reni_tpu.core import encodings
+
+    parts = encodings.z_parts(equivariance, Z)
+    a = jnp.einsum("bcn,nh->bch", parts["proj"], w_ip)  # (B, c, H)
+    c = a.shape[1]
+    if w_direct is not None:
+        a = jnp.concatenate(
+            (a, jnp.broadcast_to(w_direct[None], (a.shape[0],) + w_direct.shape)),
+            axis=1,
+        )
+    k = a.shape[1]
+    a_pad = jnp.pad(a, ((0, 0), (0, K_PAD - k), (0, 0)))
+    b0 = (
+        jnp.einsum("bm,mh->bh", parts["bias_feats"], w_bias) + layer0["b"]
+    )[:, None, :]  # (B, 1, H) — sublane-aligned block shape for the kernel
+
+    d_pad = jnp.pad(d_feats, ((0, 0), (0, K_PAD - d_feats.shape[-1])))
+
+    ws = jnp.stack([l["w"] for l in params["layers"][1:]])  # (L, H, H)
+    bs = jnp.stack([l["b"] for l in params["layers"][1:]])  # (L, H)
+    wf = params["final"]["w"]  # (H, out)
+    bf = params["final"]["b"]
+    wf_pad = jnp.pad(wf, ((0, 0), (0, C_PAD - wf.shape[-1])))
+    bf_pad = jnp.pad(bf, ((0, C_PAD - bf.shape[-1]),))[None]
+    return d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad
+
+
+@functools.lru_cache(maxsize=16)
+def _get_kernel(n_hidden, hidden, omega0, omega_h, tile, trunk, interpret):
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
+    return make_fused_siren(
+        n_hidden, hidden, omega0, omega_h,
+        tile=tile, trunk_dtype=dtype, interpret=interpret,
+    )
+
+
+def fused_apply(
+    params,
+    equivariance: str,
+    ndims: int,
+    Z,
+    D,
+    *,
+    hidden_layers: int,
+    hidden_features: int,
+    out_features: int,
+    first_omega_0: float,
+    hidden_omega_0: float,
+    output_activation: str | None,
+    tile: int = 512,
+    trunk: str = "bfloat16",
+    interpret: bool = False,
+):
+    """Drop-in for siren.apply_siren_decomposed on the Pallas path.
+
+    D: (1, npix, 3) or (B, npix, 3) — the direction grid must be shared
+    across the batch (true for all training tasks)."""
+    from reni_tpu.core import encodings
+
+    d_feats = encodings.d_features(equivariance, D[:1])[0]  # (npix, k)
+    npix = d_feats.shape[0]
+    tm = min(tile, npix)
+    if npix % tm or hidden_features % 128:
+        raise ValueError(f"unsupported shapes for pallas path: {npix=}, {hidden_features=}")
+
+    d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad = pack_inputs(
+        params, equivariance, ndims, Z, d_feats
+    )
+    kernel = _get_kernel(
+        hidden_layers, hidden_features, first_omega_0, hidden_omega_0,
+        tm, trunk, interpret,
+    )
+    out = kernel(d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad)[..., :out_features]
+    if output_activation == "exp":
+        return jnp.exp(out)
+    if output_activation == "tanh":
+        return jnp.tanh(out)
+    return out

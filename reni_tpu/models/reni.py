@@ -62,6 +62,9 @@ class RENIConfig:
     mapping_layers: int = 3
     mapping_features: int = 256
     fixed_decoder: bool = False
+    # TPU execution knobs (absent from the reference; numerics-preserving)
+    use_pallas: bool = False  # fused trunk kernel for Cond-by-Concat decoders
+    pallas_trunk: str = "bfloat16"  # bfloat16 | float32 matmul inputs
 
     @property
     def is_variational(self) -> bool:
@@ -185,6 +188,26 @@ class RENIModel:
         Returns (B, npix, out_features).
         """
         cfg = self.config
+        if cfg.use_pallas and not cfg.is_film and D.shape[0] == 1:
+            # fused Pallas trunk; requires a direction grid shared across the
+            # batch (true for all training tasks)
+            from reni_tpu.kernels.siren_pallas import fused_apply
+
+            if cfg.last_layer_linear and cfg.hidden_features % 128 == 0:
+                return fused_apply(
+                    params["decoder"],
+                    cfg.equivariance,
+                    cfg.latent_dim,
+                    Z,
+                    D,
+                    hidden_layers=cfg.hidden_layers,
+                    hidden_features=cfg.hidden_features,
+                    out_features=cfg.out_features,
+                    first_omega_0=cfg.first_omega_0,
+                    hidden_omega_0=cfg.hidden_omega_0,
+                    output_activation=cfg.output_activation,
+                    trunk=cfg.pallas_trunk,
+                )
         if D.shape[0] == 1 and Z.shape[0] != 1:
             D = jnp.broadcast_to(D, (Z.shape[0],) + D.shape[1:])
         if cfg.is_film:

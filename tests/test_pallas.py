@@ -1,0 +1,106 @@
+"""Fused Pallas kernel parity vs the jnp decomposed path (interpret mode on
+CPU; the same kernel compiles on TPU — exercised by bench.py)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reni_tpu.kernels.siren_pallas import fused_apply
+from reni_tpu.models.reni import RENIConfig, RENIModel
+
+
+def _setup(equiv="SO2", N=9, L=3, H=128, act="tanh"):
+    cfg = RENIConfig(
+        model_type="AutoDecoder",
+        equivariance=equiv,
+        latent_dim=N,
+        hidden_layers=L,
+        hidden_features=H,
+        output_activation=act,
+    )
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), dataset_size=3)
+    rng = np.random.default_rng(1)
+    Z = jnp.asarray(rng.normal(size=(3, N, 3)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(1, 256, 3)).astype(np.float32))
+    return model, params, Z, D
+
+
+def _pallas(model, params, Z, D, trunk="float32"):
+    cfg = model.config
+    return fused_apply(
+        params["decoder"],
+        cfg.equivariance,
+        cfg.latent_dim,
+        Z,
+        D,
+        hidden_layers=cfg.hidden_layers,
+        hidden_features=cfg.hidden_features,
+        out_features=cfg.out_features,
+        first_omega_0=cfg.first_omega_0,
+        hidden_omega_0=cfg.hidden_omega_0,
+        output_activation=cfg.output_activation,
+        trunk=trunk,
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize("equiv", ["SO3", "SO2", "None"])
+def test_fused_forward_matches_jnp(equiv):
+    model, params, Z, D = _setup(equiv=equiv)
+    ref = np.asarray(model.apply(params, Z, D))
+    out = np.asarray(_pallas(model, params, Z, D))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fused_gradients_match_jnp():
+    model, params, Z, D = _setup()
+
+    def loss_p(dec, z):
+        return jnp.sum(
+            _pallas(model, {"decoder": dec, "latents": params["latents"]}, z, D) ** 2
+        )
+
+    def loss_r(dec, z):
+        return jnp.sum(
+            model.apply({"decoder": dec, "latents": params["latents"]}, z, D) ** 2
+        )
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(params["decoder"], Z)
+    gr = jax.grad(loss_r, argnums=(0, 1))(params["decoder"], Z)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=2e-5
+        ),
+        gp,
+        gr,
+    )
+
+
+def test_model_level_pallas_flag():
+    """RENIModel.apply dispatches to the kernel when use_pallas is set and
+    produces the same output (interpret path not reachable through the flag,
+    so compare at tolerance via the kernel's own interpret call)."""
+    model, params, Z, D = _setup()
+    cfg_p = dataclasses.replace(model.config, use_pallas=True, pallas_trunk="float32")
+    # On CPU the non-interpret pallas_call still works through the
+    # interpreter-capable lowering only when interpret=True; here we just
+    # check the dispatch guard logic falls back cleanly for unsupported
+    # shapes (hidden not multiple of 128).
+    cfg_small = dataclasses.replace(cfg_p, hidden_features=32)
+    model_small = RENIModel(cfg_small)
+    params_small = model_small.init(jax.random.PRNGKey(2), dataset_size=3)
+    out = model_small.apply(params_small, Z, D)  # falls back to jnp path
+    assert out.shape == (3, 256, 3)
+
+
+def test_fused_bf16_trunk_close():
+    model, params, Z, D = _setup()
+    ref = np.asarray(model.apply(params, Z, D))
+    out = np.asarray(_pallas(model, params, Z, D, trunk="bfloat16"))
+    # bf16 matmul inputs, f32 accumulation: outputs inside tanh stay close
+    assert np.abs(out - ref).max() < 0.05
+    assert np.abs(out - ref).mean() < 0.01
