@@ -1,0 +1,129 @@
+"""Evaluation harness for the BASELINE.json protocol.
+
+Implements the measured comparisons SURVEY §6 / BASELINE.md call for:
+
+- `reconstruction_psnr`: test-set PSNR after FIT_LATENT — decode each
+  latent, unnormalise both sides, tonemap HDR with the reference's sRGB,
+  PSNR in display space (per image and mean).
+- `equivariance_eval`: BASELINE config 3 — reconstruct a *rotated*
+  environment map via latent rotation Z @ R_y and compare against the
+  pixel-rolled ground truth (equirectangular maps are periodic in azimuth,
+  so an exact-column rotation has an exact GT).
+- `inpainting_eval`: masked region PSNR — quality of the hallucinated
+  (unobserved) pixels after masked latent fitting.
+
+All pure functions over (model, params, images); the trainer and tests
+share them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from reni_tpu.core import sphere
+from reni_tpu.models.reni import RENIModel
+
+
+def _display(flat, res, unnormalise, is_hdr):
+    h, w = res
+    imgs = sphere.unflatten_image(flat, h, w)
+    if unnormalise is not None:
+        imgs = unnormalise(imgs)
+    if is_hdr:
+        imgs = sphere.srgb(imgs)
+    return jnp.clip(imgs, 0.0, 1.0)
+
+
+def psnr_per_image(pred, target) -> np.ndarray:
+    mse = jnp.mean((pred - target) ** 2, axis=tuple(range(1, pred.ndim)))
+    return np.asarray(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)))
+
+
+def reconstruction_psnr(
+    model: RENIModel,
+    params,
+    images: jnp.ndarray,
+    res: tuple[int, int],
+    *,
+    unnormalise=None,
+    is_hdr: bool = False,
+) -> dict:
+    """PSNR of latent-table reconstructions against the dataset images.
+
+    images: (S, H*W, 3) normalised (as trained on)."""
+    directions = sphere.get_directions(res[1])
+    out = model.apply_idx(params, jnp.arange(images.shape[0]), directions)
+    pred = _display(out, res, unnormalise, is_hdr)
+    target = _display(images, res, unnormalise, is_hdr)
+    per = psnr_per_image(pred, target)
+    return {"psnr_per_image": per, "psnr_mean": float(per.mean())}
+
+
+def equivariance_eval(
+    model: RENIModel,
+    params,
+    images: jnp.ndarray,
+    res: tuple[int, int],
+    *,
+    columns: int = 8,
+    unnormalise=None,
+    is_hdr: bool = False,
+) -> dict:
+    """Rotate latents by a y-rotation of ``columns`` pixel columns; the
+    decoded maps must equal the column-rolled reconstructions (BASELINE
+    config 3). Returns PSNR between rotated-decode and rolled-decode, plus
+    PSNR of rotated-decode against rolled ground truth."""
+    h, w = res
+    directions = sphere.get_directions(w)
+    idx = jnp.arange(images.shape[0])
+    Z = model.latents(params, idx)
+
+    angle = -2.0 * np.pi * columns / w  # d @ R(-a) shifts content left by a
+    r = jnp.asarray(sphere.rotation_y(angle).astype(np.float32))
+
+    out_rot = model.apply(params, Z @ r, directions)
+    out_base = model.apply(params, Z, directions)
+
+    def roll(flat):
+        img = flat.reshape(flat.shape[0], h, w, 3)
+        return jnp.roll(img, columns, axis=2).reshape(flat.shape[0], h * w, 3)
+
+    pred = _display(out_rot, res, unnormalise, is_hdr)
+    self_target = _display(roll(out_base), res, unnormalise, is_hdr)
+    gt_target = _display(roll(images), res, unnormalise, is_hdr)
+
+    return {
+        "self_consistency_psnr": float(psnr_per_image(pred, self_target).mean()),
+        "rotated_reconstruction_psnr": float(psnr_per_image(pred, gt_target).mean()),
+    }
+
+
+def inpainting_eval(
+    model: RENIModel,
+    params,
+    images: jnp.ndarray,
+    res: tuple[int, int],
+    mask: jnp.ndarray,
+    *,
+    unnormalise=None,
+    is_hdr: bool = False,
+) -> dict:
+    """PSNR inside (observed) and outside (hallucinated) the mask after
+    masked latent fitting. mask: (1, H*W, 3) with 1 = observed."""
+    directions = sphere.get_directions(res[1])
+    out = model.apply_idx(params, jnp.arange(images.shape[0]), directions)
+    pred = _display(out, res, unnormalise, is_hdr)
+    target = _display(images, res, unnormalise, is_hdr)
+
+    m = sphere.unflatten_image(mask, *res)  # (1, 3, H, W)
+    m = jnp.broadcast_to(m, pred.shape)
+
+    def masked_psnr(sel):
+        err = ((pred - target) ** 2 * sel).sum() / jnp.maximum(sel.sum(), 1.0)
+        return float(10.0 * jnp.log10(1.0 / jnp.maximum(err, 1e-12)))
+
+    return {
+        "observed_psnr": masked_psnr(m),
+        "hallucinated_psnr": masked_psnr(1.0 - m),
+    }
