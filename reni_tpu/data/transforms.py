@@ -108,10 +108,55 @@ def compute_log_minmax(images) -> tuple[float, float]:
 # ---------------------------------------------------------------------------
 
 
-def get_transform(name: str, args):
+def get_transform(name: str, args, rng: np.random.Generator | None = None):
+    """name -> host-side transform on (H, W, C) float arrays.
+
+    Random transforms draw from ``rng`` (seeded per dataset load), applied
+    once at staging time — the TPU pipeline keeps the dataset device-resident
+    rather than re-augmenting per epoch like the reference's DataLoader."""
     name = name.lower()
+    rng = rng if rng is not None else np.random.default_rng(0)
     if name == "resize":
         return lambda img: resize_bilinear(img, args[0], args[1])
+    if name == "randomhorizontalflip":
+        return lambda img: img[:, ::-1] if rng.random() < 0.5 else img
+    if name == "randomverticalflip":
+        return lambda img: img[::-1] if rng.random() < 0.5 else img
+    if name == "randomcrop":
+        size = args if isinstance(args, (list, tuple)) else (args, args)
+
+        def rcrop(img):
+            h, w = img.shape[:2]
+            th, tw = size
+            i = int(rng.integers(0, max(h - th, 0) + 1))
+            j = int(rng.integers(0, max(w - tw, 0) + 1))
+            return img[i : i + th, j : j + tw]
+
+        return rcrop
+    if name == "randomrotation":
+        deg = args if np.isscalar(args) else args[0]
+
+        def rrot(img):
+            import cv2
+
+            a = float(rng.uniform(-deg, deg))
+            h, w = img.shape[:2]
+            m = cv2.getRotationMatrix2D((w / 2, h / 2), a, 1.0)
+            return cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR)
+
+        return rrot
+    if name == "colorjitter":
+        b, c, s, _h = (list(args) + [0, 0, 0, 0])[:4]
+
+        def jitter(img):
+            out = img * float(rng.uniform(max(0, 1 - b), 1 + b))
+            mean = out.mean()
+            out = (out - mean) * float(rng.uniform(max(0, 1 - c), 1 + c)) + mean
+            gray = out.mean(axis=-1, keepdims=True)
+            out = gray + (out - gray) * float(rng.uniform(max(0, 1 - s), 1 + s))
+            return out.astype(img.dtype)
+
+        return jitter
     if name == "centercrop":
         size = args if isinstance(args, (list, tuple)) else (args, args)
 
@@ -132,12 +177,15 @@ def get_transform(name: str, args):
         return Normalise(args[0], args[1])
     if name in ("minmaxnormalise", "minmaxormalise"):  # reference typo alias
         return MinMaxNormalise(args)
+    if name == "to_tensor":
+        return lambda img: img  # arrays are already float (H, W, C)
     raise ValueError(f"unsupported transform {name!r}")
 
 
-def transform_builder(transform_config):
+def transform_builder(transform_config, seed: int = 0):
     """[(name, args), ...] -> composed callable (custom_transforms.py:73-78)."""
-    fns = [get_transform(n, a) for n, a in transform_config]
+    rng = np.random.default_rng(seed)
+    fns = [get_transform(n, a, rng) for n, a in transform_config]
 
     def composed(img):
         for f in fns:
