@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import jax
 import numpy as np
@@ -80,6 +81,7 @@ def run_task(
     logger: MetricLogger,
     chkpt_path: str | None,
     mesh=None,
+    deadline: float | None = None,
 ):
     model_cfg = RENIConfig.from_reni_cfg(config.RENI, task)
     model = RENIModel(model_cfg)
@@ -111,6 +113,10 @@ def run_task(
         logger.log_scalars(epoch, logged)
         if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
             tracker.maybe_save(params_now, epoch, loss)
+        if deadline is not None and time.time() > deadline:
+            # TRAINER.MAX_RUNTIME exceeded: stop cleanly after this segment
+            # (the reference declares this knob but never reads it)
+            return True
         if log_images and epoch % img_every == 0:
             mode = config.TRAINER.LOGGER.IMAGES_TO_SHOW
             grid = example_images(
@@ -192,9 +198,16 @@ def main(config, mesh=None):
             "non-FIT_DECODER first task requires TRAINER.CHKPTS.LOAD_PATH"
         )
 
+    deadline = None
+    max_hours = float(config.TRAINER.MAX_RUNTIME or 0)
+    if max_hours > 0:
+        deadline = time.time() + max_hours * 3600.0
+
     chkpt_path = load_path
     results = {}
     for task in tasks_list:
+        if deadline is not None and time.time() > deadline:
+            break
         dataset_name = config.DATASET.NAME
         dcfg = config.DATASET[dataset_name]
         split = "Train" if task == "FIT_DECODER" else "Test"
@@ -204,7 +217,7 @@ def main(config, mesh=None):
         dataset = get_dataset(dataset_name, split_path, dcfg.TRANSFORMS, dcfg.IS_HDR)
 
         params, metrics, best = run_task(
-            config, task, dataset, logger, chkpt_path, mesh=mesh
+            config, task, dataset, logger, chkpt_path, mesh=mesh, deadline=deadline
         )
         results[task] = (params, metrics)
         if task == "FIT_DECODER":

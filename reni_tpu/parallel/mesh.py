@@ -55,9 +55,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_stage_data(mesh: Mesh, imgs_b, idx_b, bmask_b):
-    """Place stacked per-stage batches (nb, B, P, 3) / (nb, B) on the mesh
-    with batch on 'data' and the direction axis on 'pixel'."""
-    s_imgs = NamedSharding(mesh, P(None, "data", "pixel", None))
+    """Place stacked per-stage batches on the mesh: batch on 'data', the
+    axis after it on 'pixel' when divisible (the H*W direction axis for env
+    maps (nb, B, P, 3); render targets (nb, B, H, W, 3) shard H)."""
+    spec = [None, "data"] + [None] * (imgs_b.ndim - 2)
+    if imgs_b.ndim >= 3 and imgs_b.shape[2] % mesh.shape["pixel"] == 0:
+        spec[2] = "pixel"
+    s_imgs = NamedSharding(mesh, P(*spec))
     s_idx = NamedSharding(mesh, P(None, "data"))
     return (
         jax.device_put(imgs_b, s_imgs),

@@ -426,6 +426,7 @@ def fit_task(
             )
 
         images = images_at(res)
+        stop = False
         if callback is None or not callback_every:
             state, metrics = stage_runner(
                 step_fn, state, images, n_epochs, batch_size
@@ -440,10 +441,15 @@ def fit_task(
                 )
                 done += seg
                 all_metrics.append(metrics)
-                callback(state.params, epoch_offset + done, metrics, res)
+                # a truthy return requests early stop (e.g. MAX_RUNTIME)
+                stop = bool(callback(state.params, epoch_offset + done, metrics, res))
+                if stop:
+                    break
         epoch_offset += n_epochs
         if on_stage_end is not None:
             on_stage_end(state, res)
+        if stop:
+            break
 
     merged = {
         f"{task_cfg.task.lower()}_{k}": np.concatenate(
