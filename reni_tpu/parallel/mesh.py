@@ -70,9 +70,36 @@ def shard_stage_data(mesh: Mesh, imgs_b, idx_b, bmask_b):
     )
 
 
-def sharded_stage_runner(mesh: Mesh):
-    """A drop-in for `tasks.run_stage` that pins the state replicated and the
-    scanned data sharded, letting GSPMD insert the DP psum."""
+def state_sharding(mesh: Mesh, state, shard_latents: bool = False):
+    """Sharding tree for a TrainState: everything replicated, except —
+    with ``shard_latents`` — latent-table leaves (and their optimizer
+    moments) row-sharded over the 'data' axis. That is the SURVEY §2c
+    "embedding-style sharded latent table": per-image rows are model state,
+    so for huge datasets the (S, N, 3) tables shard by row and XLA gathers
+    the batch rows (disjoint per shard under sequential batching)."""
+    rep = NamedSharding(mesh, P())
+    if not shard_latents:
+        return jax.tree.map(lambda _: rep, state)
+    row = NamedSharding(mesh, P("data", None, None))
+    n_data = mesh.shape["data"]
+
+    def pick(path, leaf):
+        is_table = (
+            hasattr(leaf, "ndim")
+            and leaf.ndim == 3
+            and leaf.shape[-1] == 3
+            and leaf.shape[0] % n_data == 0
+            and any(getattr(p, "key", None) == "latents" for p in path)
+        )
+        return row if is_table else rep
+
+    return jax.tree_util.tree_map_with_path(pick, state)
+
+
+def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
+    """A drop-in for `tasks.run_stage` that pins the state replicated (or
+    latent-row-sharded) and the scanned data sharded, letting GSPMD insert
+    the DP psum."""
     import jax.numpy as jnp
 
     from reni_tpu.train import tasks as _tasks
@@ -87,8 +114,7 @@ def sharded_stage_runner(mesh: Mesh):
         imgs_b, idx_b, bmask_b = shard_stage_data(
             mesh, imgs_b, jnp.asarray(idx), jnp.asarray(bmask)
         )
-        rep = replicated(mesh)
-        state = jax.device_put(state, rep)
+        state = jax.device_put(state, state_sharding(mesh, state, shard_latents))
 
         def epoch_body(state, _):
             state, ms = jax.lax.scan(
@@ -110,6 +136,28 @@ def pad_batch_to(batch_size: int, multiple: int) -> int:
     """Batch sizes must divide evenly across the data axis; padded rows are
     zero-masked by the tasks layer, so rounding up is exact."""
     return -(-batch_size // multiple) * multiple
+
+
+def decode_sharded(model, params, Z, directions, mesh: Mesh | None = None):
+    """Large-resolution decode with the H*W direction axis sharded over the
+    whole mesh (batch replicated) — the communication-free "sequence
+    parallel" path for e.g. 512x1024 env-map synthesis. directions:
+    (1, P, 3); returns (B, P, 3) fully addressable on the host."""
+    if mesh is None:
+        mesh = make_mesh()
+    flat = Mesh(mesh.devices.reshape(-1), axis_names=("pixel",))
+    d_sharded = jax.device_put(
+        directions, NamedSharding(flat, P(None, "pixel", None))
+    )
+    rep = NamedSharding(flat, P())
+    params = jax.device_put(params, rep)
+    Z = jax.device_put(Z, rep)
+
+    @jax.jit
+    def run(params, Z, d):
+        return model.apply(params, Z, d)
+
+    return run(params, Z, d_sharded)
 
 
 Params = dict[str, Any]

@@ -109,3 +109,87 @@ def test_sharded_latent_rows_update_disjointly():
     )
     moved = np.abs(np.asarray(p["latents"]["mu"]) - mu0).reshape(8, -1).max(axis=1)
     assert (moved > 0).all()
+
+
+def test_sharded_latent_table_matches_replicated():
+    """Row-sharding the latent tables (embedding-style, SURVEY §2c) must be
+    numerically identical to the replicated-table fit."""
+    from reni_tpu.parallel.mesh import sharded_stage_runner
+    from reni_tpu.train.optim import build_optimizer
+
+    images = _synthetic(8, 16, seed=4)
+    model = _model()
+    params0 = model.init(jax.random.PRNGKey(5), dataset_size=8)
+    opt = build_optimizer(OptimConfig(lr_start=1e-3, lr_end=1e-3, epochs=4, steps_per_epoch=1))
+
+    from reni_tpu.core import sphere as sph
+
+    step = tasks.make_fit_decoder_step(
+        model, opt, sph.get_directions(16), sph.get_sineweight(16), kld_weighting=1e-4
+    )
+
+    m = pmesh.make_mesh(n_data=4, n_pixel=2)
+    results = []
+    for shard_latents in (False, True):
+        state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(6))
+        runner = sharded_stage_runner(m, shard_latents=shard_latents)
+        state, metrics = runner(step, state, images, 4, 8)
+        results.append((jax.device_get(state.params), np.asarray(metrics["loss"])))
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        results[0][0],
+        results[1][0],
+    )
+
+
+def test_decode_sharded_matches_unsharded():
+    model = _model()
+    params = model.init(jax.random.PRNGKey(7), dataset_size=2)
+    Z = model.latents(params, jnp.arange(2))
+    d = np.asarray((np.random.default_rng(8).normal(size=(1, 64, 3))).astype(np.float32))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    ref = np.asarray(model.apply(params, Z, d))
+    out = np.asarray(pmesh.decode_sharded(model, params, Z, d))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fit_inverse_under_mesh():
+    """The inverse-render task must run data-sharded (5-D render targets)."""
+    from reni_tpu.models.reni import RENIConfig, RENIModel
+    from reni_tpu.render import mesh as mesh_lib
+    from reni_tpu.render.inverse import InverseRenderSetup, fit_inverse
+
+    model = RENIModel(
+        RENIConfig(
+            model_type="VariationalAutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+            fixed_decoder=True,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=4)
+    images = _synthetic(4, 16, seed=9) * 0.5
+    setup = InverseRenderSetup(
+        mesh_lib.make_uv_sphere(8, 16), render_resolution=16, kd=0.5, light_chunk=64
+    )
+    cfg = tasks.TaskConfig(
+        task="FIT_INVERSE",
+        optim=OptimConfig(lr_start=5e-2, lr_end=1e-2),
+        batch_size=4,
+        epochs=6,
+        multi_res_training=False,
+        final_resolution=(8, 16),
+        prior_loss_weight=1e-7,
+        cosine_similarity_weight=1e-3,
+    )
+    m = pmesh.make_mesh(n_data=4, n_pixel=2)
+    p, metrics = fit_inverse(
+        model, params, cfg, lambda res: images, lambda x: x,
+        jax.random.PRNGKey(1), setup=setup, mesh=m,
+    )
+    assert np.isfinite(metrics["fit_inverse_loss"]).all()
+    assert metrics["fit_inverse_loss"][-1] < metrics["fit_inverse_loss"][0]
