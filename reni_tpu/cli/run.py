@@ -49,7 +49,8 @@ class _BestTracker:
         self.keep = keep
         self.saved: list[tuple[float, str]] = []
 
-    def maybe_save(self, params, epoch: int, loss: float):
+    def maybe_save(self, params, epoch: int, loss: float, opt_state=None,
+                   rng_key=None):
         path = os.path.join(
             self.save_dir, f"{self.task.lower()}_epoch={epoch:04d}"
         )
@@ -58,6 +59,8 @@ class _BestTracker:
             params,
             model_config=self.model_config,
             metadata={"task": self.task, "epoch": epoch, "loss": float(loss)},
+            opt_state=opt_state,
+            rng_key=rng_key,
         )
         self.saved.append((float(loss), path))
         self.saved.sort(key=lambda t: t[0])
@@ -82,13 +85,22 @@ def run_task(
     chkpt_path: str | None,
     mesh=None,
     deadline: float | None = None,
+    resume_path: str | None = None,
 ):
     model_cfg = RENIConfig.from_reni_cfg(config.RENI, task)
     model = RENIModel(model_cfg)
     key = jax.random.PRNGKey(int(config.TRAINER.SEED))
     k_init, k_fit, k_img = jax.random.split(key, 3)
 
-    if chkpt_path is not None:
+    start_epoch, initial_opt_state = 0, None
+    if resume_path is not None:
+        # mid-task resume: full params + optimizer state + completed epochs
+        params, meta = ckpt.load_checkpoint(resume_path)
+        start_epoch = int(meta.get("epoch", 0))
+        restored_key = ckpt.load_rng_key(resume_path)
+        if restored_key is not None:
+            k_fit = restored_key
+    elif chkpt_path is not None:
         params = ckpt.load_decoder_only(chkpt_path, model, len(dataset), k_init)
     else:
         params = model.init(k_init, len(dataset))
@@ -104,7 +116,8 @@ def run_task(
 
     is_hdr = bool(config.DATASET[config.DATASET.NAME].IS_HDR)
 
-    def callback(params_now, epoch, metrics_chunk, res):
+    def callback(state_now, epoch, metrics_chunk, res):
+        params_now = state_now.params
         loss = float(np.asarray(metrics_chunk["loss"])[-1])
         logged = {
             f"{task.lower()}_{k}": float(np.asarray(v)[-1])
@@ -112,7 +125,10 @@ def run_task(
         }
         logger.log_scalars(epoch, logged)
         if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
-            tracker.maybe_save(params_now, epoch, loss)
+            tracker.maybe_save(
+                params_now, epoch, loss,
+                opt_state=state_now.opt_state, rng_key=state_now.key,
+            )
         if deadline is not None and time.time() > deadline:
             # TRAINER.MAX_RUNTIME exceeded: stop cleanly after this segment
             # (the reference declares this knob but never reads it)
@@ -149,6 +165,9 @@ def run_task(
                 e + 1, {k: float(v[e]) for k, v in metrics.items()}
             )
     else:
+        opt_loader = None
+        if resume_path is not None:
+            opt_loader = lambda tmpl: ckpt.load_opt_state(resume_path, tmpl)
         params, metrics = tasks.fit_task(
             model,
             params,
@@ -159,6 +178,8 @@ def run_task(
             mesh=mesh,
             callback_every=cb_every,
             callback=callback,
+            start_epoch=start_epoch,
+            initial_opt_state=opt_loader,
         )
 
     final = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR,
@@ -174,7 +195,7 @@ def run_task(
     return params, metrics, best
 
 
-def main(config, mesh=None):
+def main(config, mesh=None, resume=None):
     save_dir = config.TRAINER.LOGGER.TB.SAVE_DIR
     name = (
         experiment_name(config)
@@ -203,9 +224,17 @@ def main(config, mesh=None):
     if max_hours > 0:
         deadline = time.time() + max_hours * 3600.0
 
+    if resume is not None:
+        _, rmeta = ckpt._meta_only(resume)
+        rtask = rmeta.get("task")
+        assert tasks_list and tasks_list[0] == rtask, (
+            f"--resume checkpoint is for task {rtask!r}; put that task first "
+            f"in RENI.TASKS (got {tasks_list})"
+        )
+
     chkpt_path = load_path
     results = {}
-    for task in tasks_list:
+    for i, task in enumerate(tasks_list):
         if deadline is not None and time.time() > deadline:
             break
         dataset_name = config.DATASET.NAME
@@ -217,7 +246,8 @@ def main(config, mesh=None):
         dataset = get_dataset(dataset_name, split_path, dcfg.TRANSFORMS, dcfg.IS_HDR)
 
         params, metrics, best = run_task(
-            config, task, dataset, logger, chkpt_path, mesh=mesh, deadline=deadline
+            config, task, dataset, logger, chkpt_path, mesh=mesh,
+            deadline=deadline, resume_path=resume if i == 0 else None,
         )
         results[task] = (params, metrics)
         if task == "FIT_DECODER":
@@ -242,7 +272,14 @@ if __name__ == "__main__":
     parser.add_argument(
         "--mesh", type=str, default=None, help="device mesh as DATAxPIXEL, e.g. 4x2"
     )
+    parser.add_argument(
+        "--resume",
+        type=str,
+        default=None,
+        help="mid-task resume from a periodic checkpoint (params + optimizer "
+        "state + epoch); the checkpoint's task must be first in RENI.TASKS",
+    )
     args = parser.parse_args()
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.cfg_path)
-    main(cfg, mesh=_parse_mesh(args.mesh))
+    main(cfg, mesh=_parse_mesh(args.mesh), resume=args.resume)

@@ -72,10 +72,23 @@ def save_checkpoint(
     *,
     model_config: RENIConfig | None = None,
     metadata: dict | None = None,
+    opt_state=None,
+    rng_key=None,
 ) -> None:
-    """Write ``path``.npz (leaves) and ``path``.json (config + metadata)."""
+    """Write ``path``.npz (leaves) and ``path``.json (config + metadata).
+
+    With ``opt_state`` (and ``rng_key`` for variational models, whose latent
+    sampling consumes the stream) the training state is stored too, enabling
+    bitwise mid-task resume — a capability the reference only gets through
+    Lightning's full-trainer checkpoints."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     flat = _flatten(jax.tree.map(np.asarray, params))
+    if opt_state is not None:
+        flat.update(_flatten(jax.tree.map(np.asarray, opt_state), f"__opt__{_SEP}"))
+    if rng_key is not None:
+        if jax.dtypes.issubdtype(rng_key.dtype, jax.dtypes.prng_key):
+            rng_key = jax.random.key_data(rng_key)
+        flat["__rng__"] = np.asarray(rng_key)
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
     meta = dict(metadata or {})
     if model_config is not None:
@@ -96,13 +109,52 @@ def _npz_path(path: str) -> str:
 def load_checkpoint(path: str) -> tuple[Params, dict]:
     """-> (params pytree, metadata dict with optional 'model_config')."""
     with np.load(_npz_path(path)) as npz:
-        flat = {k: npz[k] for k in npz.files}
+        flat = {
+            k: npz[k]
+            for k in npz.files
+            if not (k.startswith(f"__opt__{_SEP}") or k == "__rng__")
+        }
     params = _unflatten(flat)
     meta = {}
     if os.path.exists(_json_path(path)):
         with open(_json_path(path)) as f:
             meta = json.load(f)
     return jax.tree.map(jax.numpy.asarray, params), meta
+
+
+def load_rng_key(path: str):
+    """Restore the training PRNG key (or None if absent)."""
+    with np.load(_npz_path(path)) as npz:
+        if "__rng__" not in npz.files:
+            return None
+        return jax.numpy.asarray(npz["__rng__"])
+
+
+def load_opt_state(path: str, template):
+    """Restore a saved optimizer state into ``template``'s exact pytree
+    structure (optax states are NamedTuples, which the flat store cannot
+    reconstruct by itself — leaves are matched in flattening order).
+    Returns None if the checkpoint carries no optimizer state."""
+    prefix = f"__opt__{_SEP}"
+    with np.load(_npz_path(path)) as npz:
+        flat = {
+            k[len(prefix):]: npz[k] for k in npz.files if k.startswith(prefix)
+        }
+    if not flat:
+        return None
+    saved = _unflatten(flat)
+    leaves = jax.tree.leaves(saved)
+    structure = jax.tree.structure(template)
+    if structure.num_leaves != len(leaves):
+        raise ValueError(
+            f"optimizer state mismatch: checkpoint has {len(leaves)} leaves, "
+            f"current optimizer expects {structure.num_leaves}"
+        )
+    template_leaves = jax.tree.leaves(template)
+    cast = [
+        jax.numpy.asarray(l, dtype=t.dtype) for l, t in zip(leaves, template_leaves)
+    ]
+    return jax.tree.unflatten(structure, cast)
 
 
 def load_model_config(path: str, **overrides) -> RENIConfig:

@@ -358,6 +358,8 @@ def fit_task(
     mesh=None,
     callback_every: int | None = None,
     callback: Callable | None = None,
+    start_epoch: int = 0,
+    initial_opt_state=None,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
 
@@ -366,10 +368,14 @@ def fit_task(
     data/pixel-sharded via GSPMD; batch size is rounded up to the data-axis
     size (padded rows are zero-masked, so this is exact).
 
-    ``callback(params, epoch, metrics_chunk, res)`` fires every
+    ``callback(state, epoch, metrics_chunk, res)`` fires every
     ``callback_every`` epochs (and at stage ends) — the hook for periodic
     checkpointing / example-image logging; the scan is segmented at callback
     boundaries (same compiled program re-executed).
+
+    Mid-task resume: pass ``start_epoch`` (a completed epoch count) and the
+    ``initial_opt_state`` saved with it — epochs before start_epoch are
+    skipped and the restored adam step count keeps the LR schedule exact.
 
     Returns (params, metrics dict with (epochs,) arrays, reference-style
     keys ``{task}_{name}``)."""
@@ -390,10 +396,26 @@ def fit_task(
     )
     optimizer = build_optimizer(optim_cfg)
     state = init_train_state(model, params, optimizer, key)
+    if initial_opt_state is not None:
+        # either a ready pytree, or a loader called with the fresh state as
+        # the structure template (optax states are NamedTuples)
+        restored = (
+            initial_opt_state(state.opt_state)
+            if callable(initial_opt_state)
+            else initial_opt_state
+        )
+        if restored is not None:
+            state = state._replace(opt_state=restored)
 
     all_metrics: list[dict] = []
     epoch_offset = 0
     for res, n_epochs in task_cfg.resolution_stages():
+        if epoch_offset + n_epochs <= start_epoch:  # stage fully done
+            epoch_offset += n_epochs
+            continue
+        skip = max(0, start_epoch - epoch_offset)
+        epoch_offset += skip
+        n_epochs -= skip
         width = res[1]
         directions = sphere.get_directions(width)
         sineweight = sphere.get_sineweight(width)
@@ -442,7 +464,7 @@ def fit_task(
                 done += seg
                 all_metrics.append(metrics)
                 # a truthy return requests early stop (e.g. MAX_RUNTIME)
-                stop = bool(callback(state.params, epoch_offset + done, metrics, res))
+                stop = bool(callback(state, epoch_offset + done, metrics, res))
                 if stop:
                     break
         epoch_offset += n_epochs

@@ -69,3 +69,108 @@ def test_decoder_only_restore_new_dataset_size(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(model.apply(params, Z, D)), np.asarray(fixed.apply(new, Z, D))
     )
+
+
+def test_opt_state_roundtrip(tmp_path):
+    """Optimizer state (optax NamedTuples) survives the flat store."""
+    import optax
+    import jax.numpy as jnp
+
+    model = _model()
+    params = model.init(jax.random.PRNGKey(10), dataset_size=2)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    # advance it so moments are nonzero
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt_state = opt.update(grads, opt_state, params)
+
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, params, opt_state=opt_state)
+    template = opt.init(params)
+    restored = ckpt.load_opt_state(path, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        opt_state,
+        restored,
+    )
+    # params load ignores the __opt__ leaves
+    loaded, _ = ckpt.load_checkpoint(path)
+    assert "__opt__" not in loaded
+
+
+def test_midtask_resume_exact(tmp_path):
+    """Fit 10 epochs straight vs fit 4 -> checkpoint -> resume 6: identical
+    parameters (exact LR schedule and adam moments)."""
+    import jax.numpy as jnp
+
+    from reni_tpu.core import sphere
+    from reni_tpu.train import tasks
+    from reni_tpu.train.optim import OptimConfig
+
+    model = _model()
+    params0 = model.init(jax.random.PRNGKey(11), dataset_size=2)
+    d = np.asarray(sphere.get_directions(16))[0]
+    rng = np.random.default_rng(12)
+    images = jnp.asarray(
+        np.stack([np.tanh(d @ rng.normal(size=(3, 3))) for _ in range(2)]).astype(
+            np.float32
+        )
+    )
+
+    def cfg(epochs):
+        return tasks.TaskConfig(
+            task="FIT_DECODER",
+            optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
+            batch_size=2,
+            epochs=epochs,
+            multi_res_training=False,
+            final_resolution=(8, 16),
+        )
+
+    key = jax.random.PRNGKey(13)
+    p_straight, m_straight = tasks.fit_task(
+        model, params0, cfg(10), lambda r: images, key
+    )
+
+    saved = {}
+
+    def save_cb(state, epoch, metrics, res):
+        if epoch == 4:
+            path = str(tmp_path / "mid")
+            ckpt.save_checkpoint(
+                path, state.params, metadata={"epoch": epoch},
+                opt_state=state.opt_state, rng_key=state.key,
+            )
+            saved["path"] = path
+
+    p_part, _ = tasks.fit_task(
+        model, params0, cfg(10), lambda r: images, key,
+        callback_every=2, callback=save_cb,
+    )
+    # straight-through with segmentation must equal unsegmented
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        p_straight,
+        p_part,
+    )
+
+    mid_params, meta = ckpt.load_checkpoint(saved["path"])
+    resume_key = ckpt.load_rng_key(saved["path"])
+    p_resumed, m_resumed = tasks.fit_task(
+        model, mid_params, cfg(10), lambda r: images, resume_key,
+        start_epoch=meta["epoch"],
+        initial_opt_state=lambda tmpl: ckpt.load_opt_state(saved["path"], tmpl),
+    )
+    assert m_resumed["fit_decoder_loss"].shape == (6,)
+    np.testing.assert_allclose(
+        m_resumed["fit_decoder_loss"], m_straight["fit_decoder_loss"][4:], rtol=1e-4
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        p_straight,
+        p_resumed,
+    )
