@@ -169,3 +169,70 @@ def test_load_reference_checkpoint_file(tmp_path):
         params["decoder"],
         loaded["decoder"],
     )
+
+
+def test_train_step_gradients_match_torch():
+    """One FIT_DECODER gradient (AutoDecoder: deterministic, no sampling)
+    computed by our jnp pipeline vs a torch transcription of the reference's
+    loss and model on converted weights — every weight/latent gradient must
+    match. This validates the entire differentiable path end-to-end."""
+    import torch
+
+    from reni_tpu.core import sphere
+    from reni_tpu.train import losses
+
+    model = _model(variational=False)
+    params = model.init(jax.random.PRNGKey(5), dataset_size=2)
+    sd = {k: torch.from_numpy(v.copy()).requires_grad_() for k, v in
+          convert.params_to_torch_state_dict(params, model.config).items()}
+
+    width = 16
+    npix = 128
+    D_np = np.asarray(sphere.get_directions(width))
+    SW_np = np.asarray(sphere.get_sineweight(width))
+    rng = np.random.default_rng(6)
+    target_np = rng.normal(size=(2, npix, 3)).astype(np.float32) * 0.3
+
+    # ---- torch forward+backward (independent transcription) ----
+    Z = sd["model.Z"]
+    D = torch.from_numpy(np.broadcast_to(D_np, (2, npix, 3)).copy())
+    SW = torch.from_numpy(np.broadcast_to(SW_np, (2, npix, 3)).copy())
+    target = torch.from_numpy(target_np)
+
+    Z_xz = torch.stack((Z[:, :, 0], Z[:, :, 2]), -1)
+    D_xz = torch.stack((D[:, :, 0], D[:, :, 2]), -1)
+    G = torch.bmm(Z_xz, Z_xz.transpose(1, 2)).flatten(1)[:, None].repeat(1, npix, 1)
+    ip = torch.bmm(D_xz, Z_xz.transpose(1, 2))
+    dn = torch.sqrt(D[:, :, 0] ** 2 + D[:, :, 2] ** 2)[..., None]
+    zy = Z[:, :, 1][:, None].repeat(1, npix, 1)
+    x = torch.cat((ip, G, dn, zy, D[:, :, 1][..., None]), 2)
+    for i in range(3):
+        x = torch.sin(30.0 * (x @ sd[f"model.net.{i}.linear.weight"].T
+                              + sd[f"model.net.{i}.linear.bias"]))
+    out = torch.tanh(x @ sd["model.net.3.weight"].T + sd["model.net.3.bias"])
+    loss_t = (((out - target) ** 2) * SW).view(2, -1).mean(1).sum(0)
+    loss_t.backward()
+
+    # ---- our pipeline ----
+    import jax.numpy as jnp
+
+    D_j = jnp.asarray(D_np)
+    SW_j = jnp.asarray(SW_np)
+    tgt = jnp.asarray(target_np)
+
+    def loss_fn(p):
+        Zj = p["latents"]["Z"]
+        o = model.apply(p, Zj, D_j)
+        return losses.weighted_mse(o, tgt, SW_j)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+    g_sd = convert.params_to_torch_state_dict(grads, model.config)
+    for k, torch_param in sd.items():
+        ours = g_sd[k]
+        theirs = torch_param.grad.numpy()
+        np.testing.assert_allclose(
+            ours, theirs, rtol=1e-3, atol=2e-5,
+            err_msg=f"gradient mismatch for {k}",
+        )
