@@ -106,9 +106,13 @@ class EnvironmentMapDataset:
             raise FileNotFoundError(f"no {'HDR' if is_hdr else 'LDR'} images in {dataset_path}")
 
         reader = read_hdr if is_hdr else read_ldr
-        self._native = [
-            reader(os.path.join(dataset_path, n)) for n in self.img_names
-        ]
+        # parallel host decode (the reference's num_workers=cpu_count analog;
+        # decode happens exactly once — the dataset then lives on device)
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [os.path.join(dataset_path, n) for n in self.img_names]
+        with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
+            self._native = list(ex.map(reader, paths))
 
         # resolve normalisation from the transform config
         self.normalise = None
@@ -144,15 +148,22 @@ class EnvironmentMapDataset:
         if res in self._cache:
             return self._cache[res]
         h, w = res
-        out = []
-        for img in self._native:
+
+        def stage(img):
             x = T.resize_bilinear(img, h, w)
             for f in self._extra_transforms:
                 x = f(x)
             if self.normalise is not None:
                 x = self.normalise(x)
-            x = np.nan_to_num(x)
-            out.append(x.reshape(h * w, 3))
+            return np.nan_to_num(x).reshape(h * w, 3)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._extra_transforms:
+            out = [stage(img) for img in self._native]  # rng order stability
+        else:
+            with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
+                out = list(ex.map(stage, self._native))
         arr = jnp.asarray(np.stack(out).astype(np.float32))
         self._cache[res] = arr
         return arr

@@ -236,3 +236,81 @@ def test_train_step_gradients_match_torch():
             ours, theirs, rtol=1e-3, atol=2e-5,
             err_msg=f"gradient mismatch for {k}",
         )
+
+
+def test_training_trajectory_matches_torch():
+    """20 epochs of AD FIT_DECODER: our jit-scanned loop vs a torch loop
+    (Adam + per-epoch ExponentialLR, reference semantics) from identical
+    weights — the loss trajectories and final parameters must agree.
+    Pins optimizer and schedule semantics, not just one gradient."""
+    import math
+
+    import torch
+
+    from reni_tpu.core import sphere
+    from reni_tpu.train import tasks
+    from reni_tpu.train.optim import OptimConfig
+
+    model = _model(variational=False)
+    params = model.init(jax.random.PRNGKey(7), dataset_size=2)
+    width, npix, epochs = 16, 128, 20
+    lr0, lr1 = 1e-3, 1e-4
+
+    rng = np.random.default_rng(8)
+    target_np = (rng.normal(size=(2, npix, 3)) * 0.3).astype(np.float32)
+    D_np = np.asarray(sphere.get_directions(width))
+    SW_np = np.asarray(sphere.get_sineweight(width))
+
+    # ---- torch loop ----
+    sd = {k: torch.from_numpy(v.copy()).requires_grad_() for k, v in
+          convert.params_to_torch_state_dict(params, model.config).items()}
+    opt = torch.optim.Adam(list(sd.values()), lr=lr0, betas=(0.0, 0.999))
+    gamma = math.exp(math.log(lr1 / lr0) / epochs)
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=gamma)
+    D = torch.from_numpy(np.broadcast_to(D_np, (2, npix, 3)).copy())
+    SW = torch.from_numpy(np.broadcast_to(SW_np, (2, npix, 3)).copy())
+    target = torch.from_numpy(target_np)
+    torch_losses = []
+    for _ in range(epochs):
+        opt.zero_grad()
+        Z = sd["model.Z"]
+        Z_xz = torch.stack((Z[:, :, 0], Z[:, :, 2]), -1)
+        D_xz = torch.stack((D[:, :, 0], D[:, :, 2]), -1)
+        G = torch.bmm(Z_xz, Z_xz.transpose(1, 2)).flatten(1)[:, None].repeat(1, npix, 1)
+        ip = torch.bmm(D_xz, Z_xz.transpose(1, 2))
+        dn = torch.sqrt(D[:, :, 0] ** 2 + D[:, :, 2] ** 2)[..., None]
+        zy = Z[:, :, 1][:, None].repeat(1, npix, 1)
+        x = torch.cat((ip, G, dn, zy, D[:, :, 1][..., None]), 2)
+        for i in range(3):
+            x = torch.sin(30.0 * (x @ sd[f"model.net.{i}.linear.weight"].T
+                                  + sd[f"model.net.{i}.linear.bias"]))
+        out = torch.tanh(x @ sd["model.net.3.weight"].T + sd["model.net.3.bias"])
+        loss = (((out - target) ** 2) * SW).view(2, -1).mean(1).sum(0)
+        loss.backward()
+        opt.step()
+        sched.step()
+        torch_losses.append(float(loss))
+
+    # ---- our loop ----
+    import jax.numpy as jnp
+
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=lr0, lr_end=lr1, beta1=0.0, beta2=0.999),
+        batch_size=2,
+        epochs=epochs,
+        multi_res_training=False,
+        final_resolution=(width // 2, width),
+    )
+    new_params, metrics = tasks.fit_task(
+        model, params, cfg, lambda r: jnp.asarray(target_np), jax.random.PRNGKey(9)
+    )
+    np.testing.assert_allclose(
+        metrics["fit_decoder_loss"], torch_losses, rtol=2e-4
+    )
+    final_sd = convert.params_to_torch_state_dict(new_params, model.config)
+    for k, t in sd.items():
+        np.testing.assert_allclose(
+            final_sd[k], t.detach().numpy(), rtol=1e-3, atol=3e-5,
+            err_msg=f"parameter divergence at {k}",
+        )
