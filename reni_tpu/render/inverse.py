@@ -37,7 +37,7 @@ class InverseRenderSetup:
         camera_distance: float = 2.0,
         shininess: float = 500.0,
         backend: str = "auto",
-        light_chunk: int = 512,
+        light_chunk: int | None = None,
     ):
         if isinstance(obj_path_or_mesh, mesh_lib.Mesh):
             m = obj_path_or_mesh
