@@ -193,3 +193,12 @@ def test_fit_inverse_under_mesh():
     )
     assert np.isfinite(metrics["fit_inverse_loss"]).all()
     assert metrics["fit_inverse_loss"][-1] < metrics["fit_inverse_loss"][0]
+
+
+def test_multihost_single_process_noop():
+    from reni_tpu.parallel import multihost
+
+    assert multihost.initialize() is False  # no coordinator: no-op
+    assert multihost.is_primary() is True
+    m = multihost.global_mesh(n_pixel=2)
+    assert m.shape == {"data": 4, "pixel": 2}
