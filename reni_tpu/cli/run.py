@@ -151,6 +151,25 @@ def run_task(
     if task == "FIT_INVERSE":
         from reni_tpu.render.inverse import fit_inverse
 
+        def inverse_callback(state_now, epoch, metrics_chunk, res):
+            # images are skipped here (renders logged at task end); scalars
+            # and resumable checkpoints flow like the other tasks
+            loss = float(np.asarray(metrics_chunk["loss"])[-1])
+            logger.log_scalars(
+                epoch,
+                {
+                    f"{task.lower()}_{k}": float(np.asarray(v)[-1])
+                    for k, v in metrics_chunk.items()
+                },
+            )
+            if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
+                tracker.maybe_save(
+                    state_now.params, epoch, loss,
+                    opt_state=state_now.opt_state, rng_key=state_now.key,
+                )
+            if deadline is not None and time.time() > deadline:
+                return True
+
         params, metrics = fit_inverse(
             model,
             params,
@@ -159,11 +178,9 @@ def run_task(
             dataset.unnormalise,
             k_fit,
             mesh=mesh,
+            callback_every=every,
+            callback=inverse_callback,
         )
-        for e in range(task_cfg.epochs):
-            logger.log_scalars(
-                e + 1, {k: float(v[e]) for k, v in metrics.items()}
-            )
     else:
         opt_loader = None
         if resume_path is not None:

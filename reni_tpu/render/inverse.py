@@ -97,6 +97,8 @@ def fit_inverse(
     *,
     setup: InverseRenderSetup | None = None,
     mesh=None,
+    callback_every: int | None = None,
+    callback: Callable | None = None,
 ):
     """Full FIT_INVERSE task (analog of fit_task for the render loss)."""
     if setup is None:
@@ -130,5 +132,13 @@ def fit_inverse(
         )
 
     return tasks.fit_task(
-        model, params, task_cfg, gt_at, key, step_builder=step_builder, mesh=mesh
+        model,
+        params,
+        task_cfg,
+        gt_at,
+        key,
+        step_builder=step_builder,
+        mesh=mesh,
+        callback_every=callback_every,
+        callback=callback,
     )

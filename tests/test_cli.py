@@ -86,3 +86,45 @@ def test_task_order_assertion(tmp_path, tiny_dataset):
     cfg.RENI.TASKS = ["FIT_LATENT", "FIT_DECODER"]
     with pytest.raises(AssertionError):
         main(cfg)
+
+
+def test_fit_inverse_via_cli(tmp_path, tiny_dataset):
+    """FIT_DECODER -> FIT_INVERSE chain through the CLI, including periodic
+    inverse checkpoints and scalar logging."""
+    import numpy as np
+
+    from reni_tpu.render import mesh as mesh_lib
+
+    # write a small OBJ for the scene
+    m = mesh_lib.make_uv_sphere(6, 12)
+    obj = tmp_path / "sphere.obj"
+    with open(obj, "w") as f:
+        for v in m.verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for a, b, c in m.faces + 1:
+            f.write(f"f {a} {b} {c}\n")
+
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    cfg.RENI.TASKS = ["FIT_DECODER", "FIT_INVERSE"]
+    inv = cfg.RENI.FIT_INVERSE
+    inv.EPOCHS = 8
+    inv.BATCH_SIZE = 3
+    inv.MULTI_RES_TRAINING = False
+    inv.FINAL_RESOLUTION = [8, 16]
+    inv.RENDER_RESOLUTION = 16
+    inv.OBJECT_PATH = str(obj)
+    inv.KD_VALUE = 0.5
+    inv.LR_START = 1e-2
+    inv.LR_END = 1e-3
+    cfg.TRAINER.CHKPTS.EVERY_N_EPOCHS = 4
+
+    results, log_dir = main(cfg)
+    assert "FIT_INVERSE" in results
+    metrics = results["FIT_INVERSE"][1]
+    assert metrics["fit_inverse_loss"].shape == (8,)
+    assert np.isfinite(metrics["fit_inverse_loss"]).all()
+    cks = os.listdir(os.path.join(log_dir, "checkpoints"))
+    assert any(c.startswith("fit_inverse_epoch=") for c in cks)
+    with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+        lines = f.read()
+    assert "fit_inverse_loss" in lines
