@@ -112,6 +112,251 @@ def _bwd_kernel(
     db0_ref[0] += jnp.sum(dz0, axis=0)
 
 
+def _film_fwd_kernel(
+    d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, out_ref,
+    *, n_trunk, hidden, trunk_dtype,
+):
+    d = d_ref[...]  # (TM, K_PAD)
+    f = fr_ref[0, 0]  # (T*H,)
+    p = ph_ref[0, 0]
+    h = None
+    for i in range(n_trunk):
+        pre = (
+            _matmul(d, a0_ref[0], trunk_dtype)
+            if i == 0
+            else _matmul(h, ws_ref[i - 1], trunk_dtype)
+        ) + bs_ref[i]
+        lo = i * hidden
+        h = jnp.sin(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
+    out_ref[0] = _matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0]
+
+
+def _film_bwd_kernel(
+    d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, g_ref,
+    da0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref, dfr_ref, dph_ref,
+    *, n_trunk, hidden, trunk_dtype,
+):
+    b = pl.program_id(0)
+    pt = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, pt == 0))
+    def _():
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+        dbs_ref[...] = jnp.zeros_like(dbs_ref)
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dbf_ref[...] = jnp.zeros_like(dbf_ref)
+
+    @pl.when(pt == 0)
+    def _():
+        da0_ref[...] = jnp.zeros_like(da0_ref)
+        dfr_ref[...] = jnp.zeros_like(dfr_ref)
+        dph_ref[...] = jnp.zeros_like(dph_ref)
+
+    d = d_ref[...]
+    f = fr_ref[0, 0]
+    p = ph_ref[0, 0]
+    # recompute forward, stashing pre-activations and activations
+    pres, hs = [], []
+    h = None
+    for i in range(n_trunk):
+        pre = (
+            _matmul(d, a0_ref[0], trunk_dtype)
+            if i == 0
+            else _matmul(h, ws_ref[i - 1], trunk_dtype)
+        ) + bs_ref[i]
+        lo = i * hidden
+        h = jnp.sin(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
+        pres.append(pre)
+        hs.append(h)
+
+    g = g_ref[0]
+    dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
+    dbf_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)
+
+    for i in reversed(range(n_trunk)):
+        lo = i * hidden
+        fi = f[lo : lo + hidden]
+        cos = jnp.cos(fi * pres[i] + p[lo : lo + hidden])
+        dmod = dh * cos  # d/d(f*pre + p)
+        dfr_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod * pres[i], axis=0)
+        dph_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod, axis=0)
+        dz = dmod * fi
+        dbs_ref[i] += jnp.sum(dz, axis=0)
+        if i == 0:
+            da0_ref[0] += _dot(d, dz, ((0,), (0,)), trunk_dtype)
+        else:
+            dws_ref[i - 1] += _dot(hs[i - 1], dz, ((0,), (0,)), trunk_dtype)
+            dh = _dot(dz, ws_ref[i - 1], ((1,), (1,)), trunk_dtype)
+
+
+def make_fused_film(
+    n_trunk: int,
+    hidden: int,
+    *,
+    tile: int = 512,
+    trunk_dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused FiLM decoder trunk:
+
+        f(d_pad (npix, 8), A0 (B, 8, H), Ws (T-1, H, H), bs (T, H),
+          Wf (H, 8), bf (1, 8), freqs (B, 1, T*H), phases (B, 1, T*H))
+        -> (B, npix, 8)
+
+    freqs/phases are the *scaled* modulations (freq*15+30 applied outside).
+    Differentiable in everything except d_pad."""
+    kw = dict(n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype)
+
+    def specs(tm):
+        return [
+            pl.BlockSpec((tm, K_PAD), lambda b, p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_trunk * hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_trunk * hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def fwd_call(d_pad, a0, ws, bs, wf, bf, fr, ph):
+        batch, npix = a0.shape[0], d_pad.shape[0]
+        tm = min(tile, npix)
+        assert npix % tm == 0, (npix, tm)
+        return pl.pallas_call(
+            functools.partial(_film_fwd_kernel, **kw),
+            grid=(batch, npix // tm),
+            in_specs=specs(tm),
+            out_specs=pl.BlockSpec(
+                (1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, npix, C_PAD), jnp.float32),
+            interpret=interpret,
+        )(d_pad, a0, ws, bs, wf, bf, fr, ph)
+
+    def bwd_call(d_pad, a0, ws, bs, wf, bf, fr, ph, g):
+        batch, npix = a0.shape[0], d_pad.shape[0]
+        tm = min(tile, npix)
+        return pl.pallas_call(
+            functools.partial(_film_bwd_kernel, **kw),
+            grid=(batch, npix // tm),
+            in_specs=specs(tm)
+            + [
+                pl.BlockSpec((1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_trunk * hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_trunk * hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(a0.shape, jnp.float32),
+                jax.ShapeDtypeStruct(ws.shape, jnp.float32),
+                jax.ShapeDtypeStruct(bs.shape, jnp.float32),
+                jax.ShapeDtypeStruct(wf.shape, jnp.float32),
+                jax.ShapeDtypeStruct(bf.shape, jnp.float32),
+                jax.ShapeDtypeStruct(fr.shape, jnp.float32),
+                jax.ShapeDtypeStruct(ph.shape, jnp.float32),
+            ),
+            interpret=interpret,
+        )(d_pad, a0, ws, bs, wf, bf, fr, ph, g)
+
+    @jax.custom_vjp
+    def fused(d_pad, a0, ws, bs, wf, bf, fr, ph):
+        return fwd_call(d_pad, a0, ws, bs, wf, bf, fr, ph)
+
+    def fused_fwd(*args):
+        return fwd_call(*args), args
+
+    def fused_bwd(res, g):
+        grads = bwd_call(*res, g)
+        return (jnp.zeros_like(res[0]),) + grads
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=16)
+def _get_film_kernel(n_trunk, hidden, tile, trunk, interpret):
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
+    return make_fused_film(
+        n_trunk, hidden, tile=tile, trunk_dtype=dtype, interpret=interpret
+    )
+
+
+def fused_film_apply(
+    params,
+    equivariance: str,
+    Z,
+    D,
+    *,
+    hidden_layers: int,
+    hidden_features: int,
+    out_features: int,
+    output_activation: str | None,
+    tile: int = 512,
+    trunk: str = "bfloat16",
+    interpret: bool = False,
+):
+    """Drop-in for film.apply_film_decomposed on the Pallas path.
+
+    The mapping network (tiny, per-image) runs in XLA; the kernel fuses the
+    per-pixel FiLM trunk. D: (1, npix, 3) shared grid."""
+    from reni_tpu.core import encodings
+    from reni_tpu.models import film as film_lib
+
+    d_feats = encodings.d_features(equivariance, D[:1])[0]
+    npix = d_feats.shape[0]
+    tm = min(tile, npix)
+    if npix % tm or hidden_features % 128:
+        raise ValueError(f"unsupported shapes for pallas film path: {npix=}")
+
+    parts = encodings.z_parts(equivariance, Z)
+    fr, ph = film_lib.apply_mapping_network(
+        params["mapping"], parts["bias_feats"]
+    )
+    fr = (fr * 15.0 + 30.0)[:, None, :]  # (B, 1, T*H)
+    ph = ph[:, None, :]
+
+    layer0 = params["layers"][0]
+    w0 = layer0["w"]
+    if equivariance == "SO2":
+        # FiLM siren-input ordering [|D_xz|, D_y, innerprod]; d_features
+        # ordering [D_x, D_z, |D_xz|, D_y]
+        a0 = jnp.einsum("bcn,nh->bch", parts["proj"], w0[2:])
+        a0 = jnp.concatenate(
+            (a0, jnp.broadcast_to(w0[:2][None], (a0.shape[0], 2, w0.shape[1]))),
+            axis=1,
+        )
+    else:
+        a0 = jnp.einsum("bcn,nh->bch", parts["proj"], w0)
+    a0_pad = jnp.pad(a0, ((0, 0), (0, K_PAD - a0.shape[1]), (0, 0)))
+    d_pad = jnp.pad(d_feats, ((0, 0), (0, K_PAD - d_feats.shape[-1])))
+
+    n_trunk = hidden_layers
+    ws = (
+        jnp.stack([l["w"] for l in params["layers"][1:]])
+        if n_trunk > 1
+        else jnp.zeros((0, hidden_features, hidden_features))
+    )
+    bs = jnp.stack([l["b"] for l in params["layers"]])
+    wf = jnp.pad(params["final"]["w"], ((0, 0), (0, C_PAD - out_features)))
+    bf = jnp.pad(params["final"]["b"], ((0, C_PAD - out_features),))[None]
+
+    kernel = _get_film_kernel(n_trunk, hidden_features, tm, trunk, interpret)
+    out = kernel(d_pad, a0_pad, ws, bs, wf, bf, fr, ph)[..., :out_features]
+    if output_activation == "exp":
+        return jnp.exp(out)
+    if output_activation == "tanh":
+        return jnp.tanh(out)
+    return out
+
+
 def make_fused_siren(
     n_hidden: int,
     hidden: int,

@@ -188,12 +188,26 @@ class RENIModel:
         Returns (B, npix, out_features).
         """
         cfg = self.config
-        if cfg.use_pallas and not cfg.is_film and D.shape[0] == 1:
+        if cfg.use_pallas and D.shape[0] == 1 and cfg.hidden_features % 128 == 0:
             # fused Pallas trunk; requires a direction grid shared across the
             # batch (true for all training tasks)
-            from reni_tpu.kernels.siren_pallas import fused_apply
+            if cfg.is_film:
+                from reni_tpu.kernels.siren_pallas import fused_film_apply
 
-            if cfg.last_layer_linear and cfg.hidden_features % 128 == 0:
+                return fused_film_apply(
+                    params["decoder"],
+                    cfg.equivariance,
+                    Z,
+                    D,
+                    hidden_layers=cfg.hidden_layers,
+                    hidden_features=cfg.hidden_features,
+                    out_features=cfg.out_features,
+                    output_activation=cfg.output_activation,
+                    trunk=cfg.pallas_trunk,
+                )
+            if cfg.last_layer_linear:
+                from reni_tpu.kernels.siren_pallas import fused_apply
+
                 return fused_apply(
                     params["decoder"],
                     cfg.equivariance,

@@ -104,3 +104,74 @@ def test_fused_bf16_trunk_close():
     # bf16 matmul inputs, f32 accumulation: outputs inside tanh stay close
     assert np.abs(out - ref).max() < 0.05
     assert np.abs(out - ref).mean() < 0.01
+
+
+def _setup_film(equiv="SO2", N=9, L=3, H=128, act="tanh"):
+    cfg = RENIConfig(
+        model_type="AutoDecoder",
+        conditioning="FiLM",
+        equivariance=equiv,
+        latent_dim=N,
+        hidden_layers=L,
+        hidden_features=H,
+        mapping_layers=2,
+        mapping_features=64,
+        output_activation=act,
+    )
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(20), dataset_size=3)
+    rng = np.random.default_rng(21)
+    Z = jnp.asarray(rng.normal(size=(3, N, 3)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(1, 256, 3)).astype(np.float32))
+    return model, params, Z, D
+
+
+def _pallas_film(model, params, Z, D, trunk="float32"):
+    from reni_tpu.kernels.siren_pallas import fused_film_apply
+
+    cfg = model.config
+    return fused_film_apply(
+        params["decoder"],
+        cfg.equivariance,
+        Z,
+        D,
+        hidden_layers=cfg.hidden_layers,
+        hidden_features=cfg.hidden_features,
+        out_features=cfg.out_features,
+        output_activation=cfg.output_activation,
+        trunk=trunk,
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize("equiv", ["SO3", "SO2", "None"])
+def test_fused_film_forward_matches_jnp(equiv):
+    model, params, Z, D = _setup_film(equiv=equiv)
+    ref = np.asarray(model.apply(params, Z, D))
+    out = np.asarray(_pallas_film(model, params, Z, D))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_fused_film_gradients_match_jnp():
+    model, params, Z, D = _setup_film()
+
+    def loss_p(dec, z):
+        return jnp.sum(
+            _pallas_film(model, {"decoder": dec, "latents": params["latents"]}, z, D)
+            ** 2
+        )
+
+    def loss_r(dec, z):
+        return jnp.sum(
+            model.apply({"decoder": dec, "latents": params["latents"]}, z, D) ** 2
+        )
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(params["decoder"], Z)
+    gr = jax.grad(loss_r, argnums=(0, 1))(params["decoder"], Z)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+        ),
+        gp,
+        gr,
+    )
