@@ -223,7 +223,11 @@ def main(config, mesh=None, resume=None):
     while os.path.exists(os.path.join(save_dir, name, f"version_{version}")):
         version += 1
     log_dir = os.path.join(save_dir, name, f"version_{version}")
-    logger = MetricLogger(log_dir)
+    wandb_cfg = None
+    if config.TRAINER.LOGGER_TYPE == "wandb":
+        wandb_cfg = dict(config.TRAINER.LOGGER.WANDB)
+        wandb_cfg["run_config"] = config.to_dict()
+    logger = MetricLogger(log_dir, wandb_config=wandb_cfg)
 
     tasks_list = list(config.RENI.TASKS)
     load_path = config.TRAINER.CHKPTS.LOAD_PATH

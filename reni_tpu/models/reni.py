@@ -158,6 +158,16 @@ class RENIModel:
 
     # -- latents ------------------------------------------------------------
 
+    @staticmethod
+    def _as_index(idx):
+        """The reference's polymorphic idx forms (RENI.py:205-233): a python
+        int selects one row (kept batched), a list or array selects rows."""
+        if isinstance(idx, int):
+            return jnp.asarray([idx])
+        if isinstance(idx, (list, tuple)):
+            return jnp.asarray(idx)
+        return idx
+
     def latents(self, params: Params, idx=None) -> jnp.ndarray:
         """Deterministic latent rows: mu for a VAD, Z for an AD."""
         table = (
@@ -165,11 +175,12 @@ class RENIModel:
             if self.config.is_variational
             else params["latents"]["Z"]
         )
-        return table if idx is None else table[idx]
+        return table if idx is None else table[self._as_index(idx)]
 
     def sample_latent(self, params: Params, idx, key):
         """Reparameterised sample (VAD; reference RENI.py:329-335).
         Returns (Z, mu, log_var) for the given index rows."""
+        idx = self._as_index(idx)
         if not self.config.is_variational:
             z = params["latents"]["Z"][idx]
             return z, z, jnp.zeros_like(z)

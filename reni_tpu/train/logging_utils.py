@@ -16,12 +16,33 @@ import numpy as np
 
 
 class MetricLogger:
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    def __init__(
+        self,
+        log_dir: str,
+        use_tensorboard: bool = True,
+        wandb_config: dict | None = None,
+    ):
+        """wandb_config: the reference's TRAINER.LOGGER.WANDB block
+        (run.py:33-41) — used when the wandb package is importable."""
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
-        if use_tensorboard:
+        self._wandb = None
+        if wandb_config is not None:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    name=wandb_config.get("NAME"),
+                    project=wandb_config.get("PROJECT"),
+                    dir=wandb_config.get("SAVE_DIR"),
+                    mode="offline" if wandb_config.get("OFFLINE") else "online",
+                    config=wandb_config.get("run_config"),
+                )
+            except Exception:
+                self._wandb = None
+        if use_tensorboard and self._wandb is None:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -37,6 +58,8 @@ class MetricLogger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), int(step))
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in scalars.items()}, step=int(step))
 
     def log_image(self, tag: str, image_hwc: np.ndarray, step: int) -> None:
         """image_hwc: (H, W, 3) float in [0, 1]. Saved as PNG + TB image."""
@@ -49,11 +72,17 @@ class MetricLogger:
         Image.fromarray(img8).save(os.path.join(imgdir, f"{tag}_{step:06d}.png"))
         if self._tb is not None:
             self._tb.add_image(tag, img8, int(step), dataformats="HWC")
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log({tag: wandb.Image(img8)}, step=int(step))
 
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 def make_grid(

@@ -162,3 +162,30 @@ def test_resize_matches_torch_bilinear():
         .numpy()
     )
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_random_transforms_registry():
+    """Random transforms (applied at staging with a seeded rng) are
+    deterministic per seed and shape-correct."""
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(16, 32, 3)).astype(np.float32)
+
+    t1 = T.transform_builder([["randomcrop", [8, 16]]], seed=1)
+    t2 = T.transform_builder([["randomcrop", [8, 16]]], seed=1)
+    a, b = t1(img), t2(img)
+    assert a.shape == (8, 16, 3)
+    np.testing.assert_array_equal(a, b)  # same seed, same crop
+
+    flip = T.transform_builder([["randomhorizontalflip", None]], seed=3)
+    out = flip(img)
+    assert out.shape == img.shape
+
+    rot = T.transform_builder([["randomrotation", 10]], seed=4)
+    assert rot(img).shape == img.shape
+
+    jit = T.transform_builder([["colorjitter", [0.2, 0.2, 0.2, 0.0]]], seed=5)
+    out = jit(img)
+    assert out.shape == img.shape and np.isfinite(out).all()
+
+    ident = T.get_transform("to_tensor", None)
+    np.testing.assert_array_equal(ident(img), img)

@@ -151,3 +151,17 @@ def test_broadcast_directions():
     Z, D = _zd(model.config.latent_dim, B=3, P=10, seed=12)
     out_b = model.apply(params, Z, D[:1])
     assert out_b.shape == (3, 10, 3)
+
+
+def test_apply_idx_polymorphic_int_and_list():
+    """The reference dispatches forward on int / list / tensor idx
+    (RENI.py:205-233); our apply_idx accepts all three."""
+    model = _model(fixed=True)
+    params = model.init(jax.random.PRNGKey(20), dataset_size=4)
+    _, D = _zd(model.config.latent_dim, B=1, seed=21)
+    out_int = model.apply_idx(params, 2, D)
+    out_list = model.apply_idx(params, [2], D)
+    out_arr = model.apply_idx(params, jnp.asarray([2]), D)
+    assert out_int.shape == (1, 24, 3)
+    np.testing.assert_array_equal(np.asarray(out_int), np.asarray(out_list))
+    np.testing.assert_array_equal(np.asarray(out_int), np.asarray(out_arr))
