@@ -138,7 +138,9 @@ def blinn_phong_env_shading(
         ndotl = jnp.einsum("hwk,jk->hwj", normals, dirs)  # (H, W, chunk)
         diff = jnp.einsum("hwj,bjk->bhwk", jnp.clip(ndotl, 0.0, 1.0), colors)
         vdotl = jnp.einsum("hwk,jk->hwj", view, dirs)  # (H, W, chunk)
-        inv_norm = 1.0 / jnp.maximum(jnp.sqrt(2.0 + 2.0 * vdotl), 1e-6)
+        # fp rounding can push V.L slightly below -1; clamp inside the sqrt
+        # (sqrt(negative) would poison the whole render with NaN)
+        inv_norm = 1.0 / jnp.sqrt(jnp.maximum(2.0 + 2.0 * vdotl, 1e-12))
         ndoth = jnp.clip((ndotv[..., None] + ndotl) * inv_norm, 0.0, 1.0)
         spec = jnp.einsum("hwj,bjk->bhwk", _pow(ndoth, shininess), colors)
         return (diff_acc + diff, spec_acc + spec), None

@@ -211,3 +211,28 @@ def test_fit_inverse_end_to_end():
         np.asarray(params["latents"]["log_var"]),
         np.asarray(new_params["latents"]["log_var"]),
     )
+
+
+def test_shading_antipodal_light_no_nan():
+    """A light exactly opposite the view direction must not NaN the render
+    (V.L = -1 -> sqrt(2+2V.L) = 0, and fp rounding can push it negative)."""
+    h = w = 4
+    normals = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (h, w, 3))
+    positions = jnp.zeros((h, w, 3))
+    cam = jnp.asarray([0.0, 0.0, 2.0])  # view = (0, 0, 1) everywhere
+    dirs = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0], [0.7071068, 0.0, -0.7071068]])
+    colors = jnp.ones((1, 3, 3))
+    out = shading.blinn_phong_env_shading(
+        normals, positions, cam, dirs, colors, kd=0.5, ks=0.5, shininess=500.0
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+    # gradients w.r.t. colors stay finite too
+    g = jax.grad(
+        lambda c: jnp.sum(
+            shading.blinn_phong_env_shading(
+                normals, positions, cam, dirs, c, kd=0.5, ks=0.5, shininess=500.0
+            )
+        )
+    )(colors)
+    assert np.isfinite(np.asarray(g)).all()
