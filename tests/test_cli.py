@@ -128,3 +128,32 @@ def test_fit_inverse_via_cli(tmp_path, tiny_dataset):
     with open(os.path.join(log_dir, "metrics.jsonl")) as f:
         lines = f.read()
     assert "fit_inverse_loss" in lines
+
+
+def test_evaluate_cli(tmp_path, tiny_dataset):
+    """The evaluate CLI produces a full JSON report from a trained chain."""
+    import json
+
+    from reni_tpu.cli import evaluate
+
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    results, log_dir = main(cfg)
+    ck = os.path.join(log_dir, "checkpoints", "fit_latent_final")
+
+    cfg_yaml = str(tmp_path / "eval_cfg.yaml")
+    import yaml
+
+    with open(cfg_yaml, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+
+    report = evaluate.main(
+        [
+            "--checkpoint", ck,
+            "--cfg_path", cfg_yaml,
+            "--resolution", "16", "32",
+        ]
+    )
+    assert report["n_images"] == 3
+    assert np.isfinite(report["psnr_mean"])
+    assert report["self_consistency_psnr"] > 40
+    json.dumps(report)  # serialisable

@@ -236,3 +236,45 @@ def test_shading_antipodal_light_no_nan():
         )
     )(colors)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rasterizer_degenerate_and_behind_camera():
+    """Zero-area faces and faces behind the camera must be skipped, not
+    crash or corrupt the z-buffer."""
+    verts = np.array(
+        [
+            # valid front triangle (z_view > 0)
+            [0.5, 0.5, 2.0], [-0.5, 0.5, 2.0], [0.0, -0.5, 2.0],
+            # degenerate (collinear)
+            [0.0, 0.0, 2.0], [0.1, 0.0, 2.0], [0.2, 0.0, 2.0],
+            # behind the camera
+            [0.5, 0.5, -1.0], [-0.5, 0.5, -1.0], [0.0, -0.5, -1.0],
+        ],
+        dtype=np.float32,
+    )
+    faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], dtype=np.int32)
+    for backend in ("numpy", "native"):
+        try:
+            frags = rast.rasterize_ndc(verts, faces, 16, 16, znear=1e-3, backend=backend)
+        except RuntimeError:
+            continue  # no toolchain
+        cover = frags.pix_to_face >= 0
+        assert cover.any()
+        assert set(np.unique(frags.pix_to_face[cover])) == {0}
+
+
+def test_empty_mesh_render_is_black():
+    """A scene with no covered pixels renders black everywhere."""
+    frags = rast.Fragments(
+        pix_to_face=np.full((8, 8), -1, np.int32),
+        bary_coords=np.zeros((8, 8, 3), np.float32),
+        zbuf=np.full((8, 8), np.inf, np.float32),
+    )
+    fv = np.zeros((1, 3, 3), np.float32)
+    positions, normals = shading.pixel_geometry(frags, fv, fv)
+    out = shading.blinn_phong_env_shading(
+        normals, positions, jnp.asarray([0.0, 0.0, 2.0]),
+        jnp.asarray([[0.0, 0.0, 1.0]]), jnp.ones((1, 1, 3)),
+        kd=0.5, ks=0.5,
+    )
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
