@@ -109,12 +109,26 @@ class TaskConfig:
             kwargs["kd_value"] = float(t.KD_VALUE)
         return cls(**kwargs)
 
+    def effective_curriculum(self) -> tuple[int, ...]:
+        """Curriculum epochs; when None/empty, resolution doublings are
+        evenly spaced across the epochs (configs/default.py:37 documents
+        this fallback; the reference never implemented it)."""
+        if self.curriculum:
+            return tuple(self.curriculum)
+        h0, h1 = self.initial_resolution[0], self.final_resolution[0]
+        n = int(round(math.log2(h1 / h0)))
+        if n <= 0:
+            return ()
+        return tuple(self.epochs * (i + 1) // (n + 1) for i in range(n))
+
     def validate(self):
         """The reference's config asserts (RENI_module.py:360-361)."""
         if self.multi_res_training:
-            assert max(self.curriculum) < self.epochs
+            cur = self.effective_curriculum()
             h0, h1 = self.initial_resolution[0], self.final_resolution[0]
-            assert len(self.curriculum) >= math.log2(h1 / h0)
+            if cur:
+                assert max(cur) < self.epochs
+            assert len(cur) >= math.log2(h1 / h0)
 
     def resolution_stages(self) -> list[tuple[tuple[int, int], int]]:
         """[(resolution, n_epochs)] — doubling at each curriculum epoch
@@ -124,7 +138,7 @@ class TaskConfig:
         stages = []
         res = tuple(self.initial_resolution)
         prev = 0
-        for c in self.curriculum:
+        for c in self.effective_curriculum():
             if c > self.epochs:
                 break
             stages.append((res, c - prev))

@@ -212,3 +212,28 @@ def test_fit_latent_masked_region_ignored():
         return np.asarray(state.params["latents"]["Z"])
 
     np.testing.assert_allclose(run(images), run(garbage), atol=1e-6)
+
+
+def test_curriculum_none_evenly_spaced():
+    """CURRICULUM None -> doublings evenly spaced across the epochs (the
+    documented fallback the reference never implemented)."""
+    cfg = tasks.TaskConfig(
+        epochs=900,
+        initial_resolution=(16, 32),
+        final_resolution=(64, 128),
+        curriculum=(),
+    )
+    assert cfg.effective_curriculum() == (300, 600)
+    assert cfg.resolution_stages() == [
+        ((16, 32), 300),
+        ((32, 64), 300),
+        ((64, 128), 300),
+    ]
+    cfg.validate()  # must not assert
+
+    # equal initial/final: no doublings
+    flat = dataclasses.replace(
+        cfg, initial_resolution=(64, 128), final_resolution=(64, 128)
+    )
+    assert flat.effective_curriculum() == ()
+    assert flat.resolution_stages() == [((64, 128), 900)]
