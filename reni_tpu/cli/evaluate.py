@@ -14,7 +14,6 @@ import argparse
 import json
 import os
 
-import jax
 
 from reni_tpu import eval as ev
 from reni_tpu.core import sphere

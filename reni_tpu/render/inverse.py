@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax.numpy as jnp
-import numpy as np
 
 from reni_tpu.core import sphere
 from reni_tpu.models.reni import RENIModel
