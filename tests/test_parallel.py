@@ -202,3 +202,24 @@ def test_multihost_single_process_noop():
     assert multihost.is_primary() is True
     m = multihost.global_mesh(n_pixel=2)
     assert m.shape == {"data": 4, "pixel": 2}
+
+
+def test_profiling_trace_and_benchmark():
+    from reni_tpu.utils import profiling
+
+    import jax.numpy as jnp
+
+    def f(x):
+        return x * 1.000001 + 1e-9
+
+    dt, final = profiling.benchmark_fn(jax.jit(f), jnp.ones((64,)), n=3)
+    assert dt > 0 and np.isfinite(float(final.sum()))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with profiling.trace(d):
+            jax.block_until_ready(jax.jit(f)(jnp.ones((64,))))
+        import os
+
+        assert any(os.scandir(d))  # trace files written
