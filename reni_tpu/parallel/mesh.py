@@ -122,12 +122,26 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
             )
             return state, jax.tree.map(lambda x: x.mean(), ms)
 
-        @jax.jit
-        def run(state):
-            return jax.lax.scan(epoch_body, state, None, length=n_epochs)
+        import functools
 
-        state, metrics = run(state)
-        return state, metrics
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def run(state, length):
+            return jax.lax.scan(epoch_body, state, None, length=length)
+
+        cap = _tasks._max_steps_per_program()
+        nb = idx_b.shape[0]
+        epochs_per_program = max(1, cap // nb) if cap else n_epochs
+        chunks = []
+        done = 0
+        while done < n_epochs:
+            seg = min(epochs_per_program, n_epochs - done)
+            state, metrics = run(state, seg)
+            chunks.append(metrics)
+            done += seg
+        if len(chunks) == 1:
+            return state, chunks[0]
+        merged = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+        return state, merged
 
     return run_stage
 

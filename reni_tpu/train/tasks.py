@@ -24,6 +24,7 @@ Tasks:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Callable, NamedTuple
 
@@ -326,6 +327,17 @@ def make_fit_inverse_step(
 # ---------------------------------------------------------------------------
 
 
+def _max_steps_per_program() -> int:
+    """Upper bound on optimizer steps executed by a single XLA program.
+
+    A whole-stage scan can run for minutes in one dispatch; some runtimes
+    (notably tunneled/preemptible TPU workers) kill very long dispatches.
+    Override via RENI_TPU_MAX_SCAN_STEPS; 0 disables the cap."""
+    import os
+
+    return int(os.environ.get("RENI_TPU_MAX_SCAN_STEPS", "4096"))
+
+
 def run_stage(
     step_fn: Callable,
     state: TrainState,
@@ -333,7 +345,8 @@ def run_stage(
     n_epochs: int,
     batch_size: int,
 ) -> tuple[TrainState, dict]:
-    """scan(epochs) of scan(batches) of step_fn, one XLA program.
+    """scan(epochs) of scan(batches) of step_fn — one XLA program (chunked
+    so no single dispatch exceeds RENI_TPU_MAX_SCAN_STEPS steps).
 
     images: (S, P, 3) device array (already normalised, flattened).
     Returns (state, metrics) with metrics values of shape (n_epochs,),
@@ -343,6 +356,7 @@ def run_stage(
     imgs_b = images[jnp.asarray(idx)]  # (nb, B, P, 3)
     idx_b = jnp.asarray(idx)
     bmask_b = jnp.asarray(bmask)
+    nb = idx_b.shape[0]
 
     def epoch_body(state, _):
         def batch_body(state, batch):
@@ -351,12 +365,23 @@ def run_stage(
         state, ms = jax.lax.scan(batch_body, state, (imgs_b, idx_b, bmask_b))
         return state, jax.tree.map(lambda x: x.mean(), ms)
 
-    @jax.jit
-    def run(state):
-        return jax.lax.scan(epoch_body, state, None, length=n_epochs)
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run(state, length):
+        return jax.lax.scan(epoch_body, state, None, length=length)
 
-    state, metrics = run(state)
-    return state, metrics
+    cap = _max_steps_per_program()
+    epochs_per_program = max(1, cap // nb) if cap else n_epochs
+    chunks: list[dict] = []
+    done = 0
+    while done < n_epochs:
+        seg = min(epochs_per_program, n_epochs - done)
+        state, metrics = run(state, seg)
+        chunks.append(metrics)
+        done += seg
+    if len(chunks) == 1:
+        return state, chunks[0]
+    merged = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+    return state, merged
 
 
 def fit_task(
