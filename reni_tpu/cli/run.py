@@ -170,6 +170,13 @@ def run_task(
             if deadline is not None and time.time() > deadline:
                 return True
 
+        from reni_tpu.render.inverse import InverseRenderSetup
+
+        inv_setup = InverseRenderSetup(
+            task_cfg.object_path,
+            render_resolution=task_cfg.render_resolution,
+            kd=task_cfg.kd_value,
+        )
         params, metrics = fit_inverse(
             model,
             params,
@@ -178,9 +185,30 @@ def run_task(
             dataset.unnormalise,
             k_fit,
             mesh=mesh,
+            setup=inv_setup,
             callback_every=every,
             callback=inverse_callback,
         )
+        if log_images:
+            # final GT-vs-recovered render grid (callbacks.py:102-109 analog)
+            res = task_cfg.resolution_stages()[-1][0]
+            gt = inv_setup.generate_gt_renders(
+                dataset.images_at(res), dataset.unnormalise, res[1]
+            )
+            grid = example_images(
+                model,
+                params,
+                res,
+                mode="random",
+                n_images=int(config.TRAINER.LOGGER.NUMBER_OF_IMAGES),
+                key=k_img,
+                dataset_images=dataset.images_at(res),
+                unnormalise=dataset.unnormalise,
+                is_hdr=is_hdr,
+                render_fn=inv_setup.render_fn(res[1]),
+                gt_renders=gt,
+            )
+            logger.log_image(f"{task.lower()}_images", grid, task_cfg.epochs)
     else:
         opt_loader = None
         if resume_path is not None:

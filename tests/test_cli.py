@@ -157,3 +157,18 @@ def test_evaluate_cli(tmp_path, tiny_dataset):
     assert np.isfinite(report["psnr_mean"])
     assert report["self_consistency_psnr"] > 40
     json.dumps(report)  # serialisable
+
+
+def test_film_chain_via_cli(tmp_path, tiny_dataset):
+    """The reference's default conditioning (FiLM) through the full CLI chain."""
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    cfg.RENI.CONDITIONING = "FiLM"
+    cfg.RENI.MAPPING_LAYERS = 2
+    cfg.RENI.MAPPING_FEATURES = 16
+    results, log_dir = main(cfg)
+    m = results["FIT_DECODER"][1]
+    assert np.isfinite(m["fit_decoder_loss"]).all()
+    assert "FIT_LATENT" in results
+    # FiLM checkpoints restore decoder-only across tasks (mapping included)
+    p_lat = results["FIT_LATENT"][0]
+    assert "mapping" in p_lat["decoder"]
