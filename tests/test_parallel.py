@@ -195,6 +195,15 @@ def test_fit_inverse_under_mesh():
     assert metrics["fit_inverse_loss"][-1] < metrics["fit_inverse_loss"][0]
 
 
+def test_dryrun_multichip_gate():
+    """The driver's multi-chip gate: dryrun_multichip(8) must pass. On this
+    8-virtual-device CPU harness it runs inline; with fewer devices it
+    self-provisions a CPU subprocess (exercised via n=1... inline here)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
 def test_multihost_single_process_noop():
     from reni_tpu.parallel import multihost
 
