@@ -40,7 +40,11 @@ from reni_tpu.utils.config import experiment_name, get_cfg_defaults
 
 
 class _BestTracker:
-    """save_top_k=2 checkpointing by monitored loss (run.py:79-84)."""
+    """save_top_k=2 checkpointing by monitored loss (run.py:79-84), plus a
+    ``{task}_latest`` checkpoint overwritten every periodic save — the
+    analog of Lightning's ``last.ckpt``, kept independently of best-K so
+    crash-resume never loses more than EVERY_N_EPOCHS epochs on a
+    non-monotonic loss curve."""
 
     def __init__(self, save_dir: str, task: str, model_config, keep: int = 2):
         self.save_dir = save_dir
@@ -62,6 +66,11 @@ class _BestTracker:
             opt_state=opt_state,
             rng_key=rng_key,
         )
+        import shutil
+
+        latest = os.path.join(self.save_dir, f"{self.task.lower()}_latest")
+        shutil.copyfile(path + ".npz", latest + ".npz")
+        shutil.copyfile(path + ".json", latest + ".json")
         self.saved.append((float(loss), path))
         self.saved.sort(key=lambda t: t[0])
         while len(self.saved) > self.keep:
@@ -87,7 +96,9 @@ def run_task(
     deadline: float | None = None,
     resume_path: str | None = None,
 ):
-    model_cfg = RENIConfig.from_reni_cfg(config.RENI, task)
+    model_cfg = RENIConfig.from_reni_cfg(
+        config.RENI, task, tpu_cfg=config.get("TPU")
+    )
     model = RENIModel(model_cfg)
     key = jax.random.PRNGKey(int(config.TRAINER.SEED))
     k_init, k_fit, k_img = jax.random.split(key, 3)
@@ -106,6 +117,9 @@ def run_task(
         params = model.init(k_init, len(dataset))
 
     task_cfg = tasks.TaskConfig.from_config(config, task)
+
+    if bool(config.TRAINER.LOGGER.TB.get("LOG_GRAPH", False)):
+        _dump_model_graph(model, params, logger.log_dir, task)
 
     save_dir = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR)
     tracker = _BestTracker(save_dir, task, model_cfg)
@@ -213,6 +227,10 @@ def run_task(
         opt_loader = None
         if resume_path is not None:
             opt_loader = lambda tmpl: ckpt.load_opt_state(resume_path, tmpl)
+        dcfg = config.DATASET[config.DATASET.NAME]
+        reaugment = bool(
+            dcfg.get("REAUGMENT_PER_EPOCH", False)
+        ) and dataset.has_random_transforms
         params, metrics = tasks.fit_task(
             model,
             params,
@@ -225,6 +243,7 @@ def run_task(
             callback=callback,
             start_epoch=start_epoch,
             initial_opt_state=opt_loader,
+            reaugment=reaugment,
         )
 
     final = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR,
@@ -240,7 +259,53 @@ def run_task(
     return params, metrics, best
 
 
+def _apply_precision(config) -> None:
+    """TPU.PRECISION / TRAINER.MIXED_PRECISION -> XLA matmul precision.
+
+    bfloat16 (default) keeps the platform's native matmul (bf16 inputs on
+    TPU); float32/tensorfloat32 force full/TF32 precision globally.
+    TRAINER.MIXED_PRECISION (the reference's AMP-16 flag, run.py:63,107)
+    selects bfloat16 — on TPU, bf16 matmul inputs with f32 accumulation are
+    the AMP analog."""
+    precision = str(config.TPU.PRECISION).lower()
+    if bool(config.TRAINER.MIXED_PRECISION):
+        precision = "bfloat16"
+    if precision in ("float32", "tensorfloat32"):
+        jax.config.update("jax_default_matmul_precision", precision)
+
+
+def _mesh_from_config(tpu_cfg):
+    """TPU.MESH -> default ('data', 'pixel') mesh when --mesh is absent.
+    DATA -1 spreads all remaining devices on the data axis; a resulting
+    1-device mesh means the single-program path (returns None)."""
+    nd, np_ = int(tpu_cfg.MESH.DATA), int(tpu_cfg.MESH.PIXEL)
+    if nd == -1:
+        nd = max(1, len(jax.devices()) // max(np_, 1))
+    if nd * np_ <= 1:
+        return None
+    from reni_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_data=nd, n_pixel=np_)
+
+
+def _dump_model_graph(model, params, log_dir: str, task: str) -> None:
+    """TB.LOG_GRAPH analog: the reference logs the model graph to
+    TensorBoard via example_input_array (run.py:55, RENI_module.py:28-32);
+    the XLA-native equivalent is the lowered StableHLO of the decoder
+    forward, dumped alongside the run's other artifacts."""
+    from reni_tpu.core import sphere
+
+    Z = model.latents(params, np.arange(1))
+    D = sphere.get_directions(32)
+    txt = jax.jit(model.apply).lower(params, Z, D).as_text()
+    with open(os.path.join(log_dir, f"{task.lower()}_graph.stablehlo.txt"), "w") as f:
+        f.write(txt)
+
+
 def main(config, mesh=None, resume=None):
+    _apply_precision(config)
+    if mesh is None:
+        mesh = _mesh_from_config(config.TPU)
     save_dir = config.TRAINER.LOGGER.TB.SAVE_DIR
     name = (
         experiment_name(config)
@@ -274,6 +339,7 @@ def main(config, mesh=None, resume=None):
         deadline = time.time() + max_hours * 3600.0
 
     if resume is not None:
+        resume = ckpt.find_latest(resume)  # dirs resolve to the newest ckpt
         _, rmeta = ckpt._meta_only(resume)
         rtask = rmeta.get("task")
         assert tasks_list and tasks_list[0] == rtask, (
@@ -326,7 +392,8 @@ if __name__ == "__main__":
         type=str,
         default=None,
         help="mid-task resume from a periodic checkpoint (params + optimizer "
-        "state + epoch); the checkpoint's task must be first in RENI.TASKS",
+        "state + epoch) or a run directory (resolves to its newest "
+        "checkpoint); the checkpoint's task must be first in RENI.TASKS",
     )
     args = parser.parse_args()
     cfg = get_cfg_defaults()

@@ -96,9 +96,11 @@ class EnvironmentMapDataset:
         is_hdr: bool,
         transform_config=None,
         minmax=None,
+        seed: int = 0,
     ):
         self.dataset_path = dataset_path
         self.is_hdr = is_hdr
+        self._seed = seed
         exts = _HDR_EXTS if is_hdr else _LDR_EXTS
         files = [f for f in os.listdir(dataset_path) if f.lower().endswith(exts)]
         self.img_names = natsorted(files)
@@ -117,7 +119,7 @@ class EnvironmentMapDataset:
         # resolve normalisation from the transform config
         self.normalise = None
         self.unnormalise = None
-        self._extra_transforms = []
+        self._extra_config = []  # non-resize, non-normalise entries
         for name, args in transform_config or []:
             lname = name.lower()
             if lname in ("minmaxnormalise", "minmaxormalise"):
@@ -132,26 +134,47 @@ class EnvironmentMapDataset:
             elif lname == "resize":
                 continue  # handled by the resolution pyramid
             else:
-                self._extra_transforms.append(T.get_transform(name, args))
+                self._extra_config.append((name, args))
+        self.has_random_transforms = any(
+            n.lower() in T.RANDOM_TRANSFORMS for n, _ in self._extra_config
+        )
+        self._extra_transforms = self._build_extra(np.random.default_rng(seed))
 
         self._cache: dict[tuple[int, int], jnp.ndarray] = {}
+
+    def _build_extra(self, rng):
+        return [T.get_transform(n, a, rng) for n, a in self._extra_config]
 
     def __len__(self) -> int:
         return len(self._native)
 
-    def images_at(self, resolution: tuple[int, int]) -> jnp.ndarray:
+    def images_at(
+        self, resolution: tuple[int, int], epoch: int | None = None
+    ) -> jnp.ndarray:
         """Device array (S, H*W, 3) of transformed images at a resolution.
 
         Pipeline per image: resize from native (bilinear, no antialias) ->
-        extra transforms -> normalise -> nan_to_num -> flatten."""
+        extra transforms -> normalise -> nan_to_num -> flatten.
+
+        With ``epoch`` given and random transforms present, the stage is
+        rebuilt with an epoch-seeded RNG and not cached — the opt-in
+        per-epoch re-augmentation matching the reference's per-__getitem__
+        random draws (reference datasets.py:67-74, custom_transforms.py:
+        41-71). Without it, random transforms are drawn once at load."""
         res = tuple(resolution)
-        if res in self._cache:
+        reaugment = epoch is not None and self.has_random_transforms
+        if not reaugment and res in self._cache:
             return self._cache[res]
         h, w = res
+        extra = (
+            self._build_extra(np.random.default_rng((self._seed, epoch)))
+            if reaugment
+            else self._extra_transforms
+        )
 
         def stage(img):
             x = T.resize_bilinear(img, h, w)
-            for f in self._extra_transforms:
+            for f in extra:
                 x = f(x)
             if self.normalise is not None:
                 x = self.normalise(x)
@@ -159,13 +182,14 @@ class EnvironmentMapDataset:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        if self._extra_transforms:
+        if extra:
             out = [stage(img) for img in self._native]  # rng order stability
         else:
             with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
                 out = list(ex.map(stage, self._native))
         arr = jnp.asarray(np.stack(out).astype(np.float32))
-        self._cache[res] = arr
+        if not reaugment:
+            self._cache[res] = arr
         return arr
 
 

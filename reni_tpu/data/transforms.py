@@ -103,6 +103,51 @@ def compute_log_minmax(images) -> tuple[float, float]:
     return lo, hi
 
 
+def shift_hue(img: np.ndarray, offset: float) -> np.ndarray:
+    """HSV hue rotation by ``offset`` turns (torchvision adjust_hue analog,
+    vectorised colorsys). Defined for non-negative inputs; values outside
+    [0, 1] keep their value/saturation and only rotate in hue."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = np.maximum(np.maximum(r, g), b)
+    minc = np.minimum(np.minimum(r, g), b)
+    v = maxc
+    c = maxc - minc
+    s = np.where(maxc != 0, c / np.where(maxc == 0, 1.0, maxc), 0.0)
+    cc = np.where(c == 0, 1.0, c)
+    rc, gc, bc = (maxc - r) / cc, (maxc - g) / cc, (maxc - b) / cc
+    h = np.where(
+        r == maxc, bc - gc, np.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = np.where(c == 0, 0.0, (h / 6.0) % 1.0)
+    h = (h + offset) % 1.0
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    conds = [i.astype(np.int32) % 6 == k for k in range(6)]
+    out = np.stack(
+        [
+            np.select(conds, [v, q, p, p, t, v]),
+            np.select(conds, [t, v, v, q, p, p]),
+            np.select(conds, [p, p, t, v, v, q]),
+        ],
+        axis=-1,
+    )
+    return out.astype(img.dtype)
+
+
+RANDOM_TRANSFORMS = frozenset(
+    {
+        "randomhorizontalflip",
+        "randomverticalflip",
+        "randomcrop",
+        "randomrotation",
+        "colorjitter",
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # registry (name -> transform), mirroring custom_transforms.py:41-71
 # ---------------------------------------------------------------------------
@@ -147,6 +192,7 @@ def get_transform(name: str, args, rng: np.random.Generator | None = None):
         return rrot
     if name == "colorjitter":
         b, c, s, _h = (list(args) + [0, 0, 0, 0])[:4]
+        assert _h <= 0.5, "hue jitter must be <= 0.5 (torchvision semantics)"
 
         def jitter(img):
             out = img * float(rng.uniform(max(0, 1 - b), 1 + b))
@@ -154,6 +200,8 @@ def get_transform(name: str, args, rng: np.random.Generator | None = None):
             out = (out - mean) * float(rng.uniform(max(0, 1 - c), 1 + c)) + mean
             gray = out.mean(axis=-1, keepdims=True)
             out = gray + (out - gray) * float(rng.uniform(max(0, 1 - s), 1 + s))
+            if _h:
+                out = shift_hue(out, float(rng.uniform(-_h, _h)))
             return out.astype(img.dtype)
 
         return jitter
@@ -168,9 +216,11 @@ def get_transform(name: str, args, rng: np.random.Generator | None = None):
 
         return crop
     if name == "grayscale":
+        # 3 output channels (torchvision Grayscale(num_output_channels=3)
+        # shape contract: the (H, W, 3) pipeline stays intact downstream)
         return lambda img: np.repeat(
             (0.2989 * img[..., :1] + 0.587 * img[..., 1:2] + 0.114 * img[..., 2:3]),
-            1,
+            3,
             axis=-1,
         )
     if name == "normalize":

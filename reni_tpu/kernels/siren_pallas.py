@@ -35,6 +35,13 @@ C_PAD = 8  # output channels padded to one sublane group
 K_PAD = 8  # direction-feature width padded (actual <= 4)
 
 
+def kernel_supported(npix: int, hidden_features: int, tile: int = 512) -> bool:
+    """Shapes the fused kernels handle: pixel count tiling evenly and a
+    lane-aligned hidden width. Dispatchers fall back to XLA otherwise."""
+    tm = min(tile, npix)
+    return npix % tm == 0 and hidden_features % 128 == 0
+
+
 def _matmul(a, b, trunk_dtype):
     if trunk_dtype is not None:
         a = a.astype(trunk_dtype)
@@ -300,14 +307,18 @@ def fused_film_apply(
     output_activation: str | None,
     tile: int = 512,
     trunk: str = "bfloat16",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Drop-in for film.apply_film_decomposed on the Pallas path.
 
     The mapping network (tiny, per-image) runs in XLA; the kernel fuses the
-    per-pixel FiLM trunk. D: (1, npix, 3) shared grid."""
+    per-pixel FiLM trunk. D: (1, npix, 3) shared grid. interpret=None
+    auto-selects interpret mode off-TPU (Mosaic only targets TPU)."""
     from reni_tpu.core import encodings
     from reni_tpu.models import film as film_lib
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     d_feats = encodings.d_features(equivariance, D[:1])[0]
     npix = d_feats.shape[0]
@@ -520,13 +531,17 @@ def fused_apply(
     output_activation: str | None,
     tile: int = 512,
     trunk: str = "bfloat16",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Drop-in for siren.apply_siren_decomposed on the Pallas path.
 
     D: (1, npix, 3) or (B, npix, 3) — the direction grid must be shared
-    across the batch (true for all training tasks)."""
+    across the batch (true for all training tasks). interpret=None
+    auto-selects interpret mode off-TPU (Mosaic only targets TPU)."""
     from reni_tpu.core import encodings
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     d_feats = encodings.d_features(equivariance, D[:1])[0]  # (npix, k)
     npix = d_feats.shape[0]

@@ -75,12 +75,25 @@ class RENIConfig:
         return self.conditioning == "FiLM"
 
     @classmethod
-    def from_reni_cfg(cls, reni_cfg, task: str | None = None) -> "RENIConfig":
+    def from_reni_cfg(
+        cls, reni_cfg, task: str | None = None, tpu_cfg=None
+    ) -> "RENIConfig":
         """Build from a config tree using the reference's key names
         (configs/default.py:6-20); ``fixed_decoder`` follows the task rule
-        of the reference factory (RENI.py:874)."""
+        of the reference factory (RENI.py:874). ``tpu_cfg`` (the config's
+        TPU block) wires the execution knobs: USE_PALLAS selects the fused
+        trunk kernel, PRECISION its matmul input dtype."""
         fixed = task in ("FIT_LATENT", "FIT_INVERSE") if task is not None else False
+        tpu_kwargs = {}
+        if tpu_cfg is not None:
+            tpu_kwargs["use_pallas"] = bool(tpu_cfg.USE_PALLAS)
+            tpu_kwargs["pallas_trunk"] = (
+                "float32"
+                if str(tpu_cfg.PRECISION).lower() == "float32"
+                else "bfloat16"
+            )
         return cls(
+            **tpu_kwargs,
             model_type=reni_cfg.MODEL_TYPE,
             conditioning=reni_cfg.CONDITIONING,
             equivariance=str(reni_cfg.EQUIVARIANCE),
@@ -199,7 +212,12 @@ class RENIModel:
         Returns (B, npix, out_features).
         """
         cfg = self.config
-        if cfg.use_pallas and D.shape[0] == 1 and cfg.hidden_features % 128 == 0:
+        use_pallas = cfg.use_pallas and D.shape[0] == 1
+        if use_pallas:
+            from reni_tpu.kernels.siren_pallas import kernel_supported
+
+            use_pallas = kernel_supported(D.shape[1], cfg.hidden_features)
+        if use_pallas:
             # fused Pallas trunk; requires a direction grid shared across the
             # batch (true for all training tasks)
             if cfg.is_film:

@@ -70,13 +70,28 @@ def shard_stage_data(mesh: Mesh, imgs_b, idx_b, bmask_b):
     )
 
 
+def _is_latent_table(path, leaf) -> bool:
+    return (
+        hasattr(leaf, "ndim")
+        and leaf.ndim == 3
+        and leaf.shape[-1] == 3
+        and any(getattr(p, "key", None) == "latents" for p in path)
+    )
+
+
 def state_sharding(mesh: Mesh, state, shard_latents: bool = False):
     """Sharding tree for a TrainState: everything replicated, except —
     with ``shard_latents`` — latent-table leaves (and their optimizer
     moments) row-sharded over the 'data' axis. That is the SURVEY §2c
     "embedding-style sharded latent table": per-image rows are model state,
     so for huge datasets the (S, N, 3) tables shard by row and XLA gathers
-    the batch rows (disjoint per shard under sequential batching)."""
+    the batch rows (disjoint per shard under sequential batching).
+
+    Tables whose row count does not divide the data axis cannot be
+    row-sharded by GSPMD — pad them first (``pad_latent_rows``, which
+    ``sharded_stage_runner`` applies automatically); reaching this function
+    unpadded raises rather than silently replicating (an OOM surprise at the
+    huge-dataset scale this feature exists for)."""
     rep = NamedSharding(mesh, P())
     if not shard_latents:
         return jax.tree.map(lambda _: rep, state)
@@ -84,16 +99,57 @@ def state_sharding(mesh: Mesh, state, shard_latents: bool = False):
     n_data = mesh.shape["data"]
 
     def pick(path, leaf):
-        is_table = (
-            hasattr(leaf, "ndim")
-            and leaf.ndim == 3
-            and leaf.shape[-1] == 3
-            and leaf.shape[0] % n_data == 0
-            and any(getattr(p, "key", None) == "latents" for p in path)
-        )
-        return row if is_table else rep
+        if _is_latent_table(path, leaf):
+            if leaf.shape[0] % n_data != 0:
+                raise ValueError(
+                    f"latent table {jax.tree_util.keystr(path)} has "
+                    f"{leaf.shape[0]} rows, not divisible by the data axis "
+                    f"({n_data}); pad with pad_latent_rows() first"
+                )
+            return row
+        return rep
 
     return jax.tree_util.tree_map_with_path(pick, state)
+
+
+def pad_latent_rows(state, multiple: int):
+    """Pad every latent-table leaf (and its optimizer moments, which share
+    the 'latents' key path) with zero rows up to a multiple of ``multiple``.
+
+    Exactness: batches index only real rows (make_batches pads index
+    vectors with 0), so padded rows receive zero gradient and a zero adam
+    update — slicing them off afterwards (``unpad_latent_rows``) recovers
+    the unpadded computation bit-for-bit.
+
+    Returns (padded_state, sizes) where sizes maps key paths to original
+    row counts (empty if nothing was padded)."""
+    import jax.numpy as jnp
+
+    sizes: dict[str, int] = {}
+
+    def pad(path, leaf):
+        if _is_latent_table(path, leaf):
+            s = leaf.shape[0]
+            target = -(-s // multiple) * multiple
+            if target != s:
+                sizes[jax.tree_util.keystr(path)] = s
+                pad_rows = jnp.zeros((target - s,) + leaf.shape[1:], leaf.dtype)
+                return jnp.concatenate([jnp.asarray(leaf), pad_rows])
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(pad, state), sizes
+
+
+def unpad_latent_rows(state, sizes: dict[str, int]):
+    """Inverse of ``pad_latent_rows``."""
+    if not sizes:
+        return state
+
+    def unpad(path, leaf):
+        s = sizes.get(jax.tree_util.keystr(path))
+        return leaf[:s] if s is not None else leaf
+
+    return jax.tree_util.tree_map_with_path(unpad, state)
 
 
 def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
@@ -114,6 +170,9 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
         imgs_b, idx_b, bmask_b = shard_stage_data(
             mesh, imgs_b, jnp.asarray(idx), jnp.asarray(bmask)
         )
+        pad_sizes = {}
+        if shard_latents:
+            state, pad_sizes = pad_latent_rows(state, mesh.shape["data"])
         state = jax.device_put(state, state_sharding(mesh, state, shard_latents))
 
         def epoch_body(state, _):
@@ -138,6 +197,7 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
             state, metrics = run(state, seg)
             chunks.append(metrics)
             done += seg
+        state = unpad_latent_rows(state, pad_sizes)
         if len(chunks) == 1:
             return state, chunks[0]
         merged = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)

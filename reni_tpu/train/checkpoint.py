@@ -171,6 +171,33 @@ def _meta_only(path: str) -> tuple[None, dict]:
         return None, json.load(f)
 
 
+def find_latest(path: str) -> str:
+    """Resolve ``path`` to a concrete checkpoint for ``--resume``.
+
+    A file path passes through. A directory (a run dir or its checkpoints/
+    subdir) resolves to the newest checkpoint — preferring the ``*_latest``
+    files the trainer overwrites every periodic save, so a crash loses at
+    most EVERY_N_EPOCHS epochs even when best-K retention has deleted newer
+    best-by-loss checkpoints (reference analog: Lightning's ``last.ckpt``
+    saved independently of ``save_top_k``, run.py:79-84)."""
+    if os.path.exists(_json_path(path)):
+        return path
+    cands = []
+    for root in (path, os.path.join(path, "checkpoints")):
+        if os.path.isdir(root):
+            cands += [
+                os.path.join(root, f[: -len(".json")])
+                for f in os.listdir(root)
+                if f.endswith(".json")
+                and os.path.exists(_npz_path(os.path.join(root, f[: -len(".json")])))
+            ]
+    if not cands:
+        raise FileNotFoundError(f"no checkpoints found under {path!r}")
+    latest = [c for c in cands if c.endswith("_latest")]
+    pool = latest or cands
+    return max(pool, key=lambda c: os.path.getmtime(_json_path(c)))
+
+
 def load_decoder_only(
     path: str, model: RENIModel, dataset_size: int, key
 ) -> Params:

@@ -24,6 +24,7 @@ All functions are pure and jit-friendly.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-20
 
@@ -85,6 +86,38 @@ def reni_test_loss_inverse(inputs, targets, Z, *, alpha, beta):
     mse_loss = jnp.mean((inputs - targets) ** 2)
     prior_loss = alpha * jnp.sum(Z**2)
     cosine_loss = beta * cosine_similarity(inputs, targets)
+    return mse_loss + prior_loss + cosine_loss, mse_loss, prior_loss, cosine_loss
+
+
+# -- batch-masked variants (single source of truth for the ragged-tail
+#    zero-masking the scanned trainer uses; with an all-ones bmask these are
+#    exactly the reference criteria above, which tests pin) ------------------
+
+
+def reni_test_loss_masked(inputs, targets, sineweight, Z, bmask, *, alpha, beta):
+    """FIT_LATENT loss over a zero-padded batch. ``sineweight`` must already
+    include the batch mask (and any in-painting mask); ``Z`` rows of padded
+    samples must be zeroed by the caller. The cosine term excludes padded
+    rows entirely (they would otherwise each add a constant 1, reference
+    loss_functions.py:25-32 applied to a ragged tail)."""
+    mse_loss = weighted_mse(inputs, targets, sineweight)
+    prior_loss = alpha * jnp.sum(Z**2)
+    cos_per = 1.0 - (_cosine_axis1(inputs, targets) * sineweight[:, 0]).mean(axis=1)
+    cosine_loss = beta * (cos_per * bmask).sum()
+    return mse_loss + prior_loss + cosine_loss, mse_loss, prior_loss, cosine_loss
+
+
+def reni_test_loss_inverse_masked(inputs, targets, Z, bmask, *, alpha, beta):
+    """FIT_INVERSE loss over a zero-padded batch of (B, H, W, 3) renders;
+    reduces to `reni_test_loss_inverse` when bmask is all ones."""
+    bm = bmask[:, None, None, None]
+    n_valid = jnp.maximum(jnp.sum(bmask), 1.0)
+    per_sample = np.prod(inputs.shape[1:])
+    mse_loss = jnp.sum(bm * (inputs - targets) ** 2) / (n_valid * per_sample)
+    prior_loss = alpha * jnp.sum(Z**2)
+    cos_flat = _cosine_axis1(inputs * bm, targets * bm)
+    cos_per = 1.0 - cos_flat.reshape(cos_flat.shape[0], -1).mean(axis=1)
+    cosine_loss = beta * (cos_per * bmask).sum() / n_valid
     return mse_loss + prior_loss + cosine_loss, mse_loss, prior_loss, cosine_loss
 
 

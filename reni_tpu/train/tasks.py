@@ -251,11 +251,9 @@ def make_fit_latent_step(
             params = merge_params(trainable, state.frozen)
             Z = model.latents(params, idx) * bmask[:, None, None]
             out = model.apply(params, Z, directions)
-            mse = losses.weighted_mse(out, imgs, sw)
-            prior = alpha * jnp.sum(Z**2)
-            cos_per = 1.0 - (losses._cosine_axis1(out, imgs) * sw[:, 0]).mean(axis=1)
-            cos = beta * (cos_per * bmask).sum()
-            loss = mse + prior + cos
+            loss, mse, prior, cos = losses.reni_test_loss_masked(
+                out, imgs, sw, Z, bmask, alpha=alpha, beta=beta
+            )
             return loss, {
                 "loss": loss,
                 "mse_loss": mse,
@@ -298,15 +296,9 @@ def make_fit_inverse_step(
             Z = model.latents(params, idx) * bmask[:, None, None]
             out = model.apply(params, Z, directions)
             render = render_fn(unnormalise(out), sw)
-            bm = bmask[:, None, None, None]
-            mse = jnp.sum(bm * (render - gt_renders) ** 2) / (
-                jnp.sum(bmask) * np.prod(render.shape[1:])
+            loss, mse, prior, cos = losses.reni_test_loss_inverse_masked(
+                render, gt_renders, Z, bmask, alpha=alpha, beta=beta
             )
-            prior = alpha * jnp.sum(Z**2)
-            cos_flat = losses._cosine_axis1(render * bm, gt_renders * bm)
-            cos_per = 1.0 - cos_flat.reshape(cos_flat.shape[0], -1).mean(axis=1)
-            cos = beta * (cos_per * bmask).sum() / jnp.maximum(jnp.sum(bmask), 1.0)
-            loss = mse + prior + cos
             return loss, {
                 "loss": loss,
                 "mse_loss": mse,
@@ -399,10 +391,15 @@ def fit_task(
     callback: Callable | None = None,
     start_epoch: int = 0,
     initial_opt_state=None,
+    reaugment: bool = False,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
 
     images_at(res) -> (S, H*W, 3) normalised images at that resolution.
+    With ``reaugment``, images are re-staged every epoch via
+    images_at(res, epoch) — the reference's per-__getitem__ random
+    augmentation semantics (datasets.py:67-74), at the cost of one dispatch
+    per epoch instead of one whole-stage scan.
     With ``mesh`` (a ('data', 'pixel') jax.sharding.Mesh) the stage runs
     data/pixel-sharded via GSPMD; batch size is rounded up to the data-axis
     size (padded rows are zero-masked, so this is exact).
@@ -486,8 +483,28 @@ def fit_task(
                 "built by reni_tpu.render.inverse)"
             )
 
-        images = images_at(res)
         stop = False
+        if reaugment:
+            done = 0
+            while done < n_epochs:
+                images = images_at(res, epoch_offset + done)
+                state, metrics = stage_runner(step_fn, state, images, 1, batch_size)
+                done += 1
+                all_metrics.append(metrics)
+                at_boundary = callback_every and (
+                    done % callback_every == 0 or done == n_epochs
+                )
+                if callback is not None and at_boundary:
+                    stop = bool(callback(state, epoch_offset + done, metrics, res))
+                    if stop:
+                        break
+            epoch_offset += n_epochs
+            if on_stage_end is not None:
+                on_stage_end(state, res)
+            if stop:
+                break
+            continue
+        images = images_at(res)
         if callback is None or not callback_every:
             state, metrics = stage_runner(
                 step_fn, state, images, n_epochs, batch_size

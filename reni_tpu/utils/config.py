@@ -121,9 +121,22 @@ _DEFAULTS = {
             "PATH": "data/RENI_HDR",
             "TRANSFORMS": [["minmaxnormalise", [-18.0536, 11.4633]]],
             "IS_HDR": True,
+            # opt-in: re-draw random transforms every epoch (the reference's
+            # per-__getitem__ semantics); off = draw once at staging
+            "REAUGMENT_PER_EPOCH": False,
         },
-        "RENI_LDR": {"PATH": "data/RENI_LDR", "TRANSFORMS": [], "IS_HDR": False},
-        "CUSTOM": {"PATH": "data/custom", "TRANSFORMS": [], "IS_HDR": False},
+        "RENI_LDR": {
+            "PATH": "data/RENI_LDR",
+            "TRANSFORMS": [],
+            "IS_HDR": False,
+            "REAUGMENT_PER_EPOCH": False,
+        },
+        "CUSTOM": {
+            "PATH": "data/custom",
+            "TRANSFORMS": [],
+            "IS_HDR": False,
+            "REAUGMENT_PER_EPOCH": False,
+        },
     },
     "TRAINER": {
         "LOGGER_TYPE": "tensorboard",
@@ -154,9 +167,15 @@ _DEFAULTS = {
     # TPU-specific extensions (absent from the reference; defaults preserve
     # single-chip behaviour)
     "TPU": {
-        "MESH": {"DATA": -1, "PIXEL": 1},  # -1: all devices on the data axis
-        "USE_PALLAS": False,
-        "PRECISION": "float32",  # float32 | bfloat16 trunk
+        # default mesh when --mesh is absent; 1x1 = single-program path,
+        # DATA: -1 = all remaining devices on the data axis
+        "MESH": {"DATA": 1, "PIXEL": 1},
+        "USE_PALLAS": False,  # fused Pallas decoder trunk (auto-falls back
+        # to XLA for shapes the kernel does not support)
+        # matmul precision: bfloat16 = the TPU's native bf16-input matmul
+        # (the platform default); float32/tensorfloat32 force full/TF32
+        # precision via jax_default_matmul_precision
+        "PRECISION": "bfloat16",
     },
 }
 

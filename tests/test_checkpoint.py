@@ -98,6 +98,32 @@ def test_opt_state_roundtrip(tmp_path):
     assert "__opt__" not in loaded
 
 
+def test_latest_survives_bestk_retention(tmp_path):
+    """Best-K retention must not defeat crash-resume: with a non-monotonic
+    loss curve the newest epoch is kept as ``{task}_latest`` even after its
+    best-by-loss file is pruned, and find_latest resolves a run dir to it."""
+    import os
+
+    from reni_tpu.cli.run import _BestTracker
+
+    model = _model()
+    params = model.init(jax.random.PRNGKey(20), dataset_size=2)
+    save_dir = str(tmp_path / "checkpoints")
+    tracker = _BestTracker(save_dir, "FIT_LATENT", model.config, keep=2)
+    # loss spikes upward: epoch 12 is newest but worst
+    for epoch, loss in ((4, 1.0), (8, 0.5), (12, 2.0)):
+        tracker.maybe_save(params, epoch, loss)
+
+    assert not os.path.exists(os.path.join(save_dir, "fit_latent_epoch=0012.npz"))
+    latest = ckpt.find_latest(str(tmp_path))
+    _, meta = ckpt.load_checkpoint(latest)
+    assert meta["epoch"] == 12
+    assert tracker.best_path.endswith("epoch=0008")
+
+    # explicit file paths pass through untouched
+    assert ckpt.find_latest(tracker.best_path) == tracker.best_path
+
+
 def test_midtask_resume_exact(tmp_path):
     """Fit 10 epochs straight vs fit 4 -> checkpoint -> resume 6: identical
     parameters (exact LR schedule and adam moments)."""

@@ -80,6 +80,9 @@ def test_full_multi_task_chain(tmp_path, tiny_dataset):
     imgs = os.listdir(os.path.join(log_dir, "images"))
     assert any(i.startswith("fit_decoder_images") for i in imgs)
 
+    # TB.LOG_GRAPH analog: lowered StableHLO of the decoder forward
+    assert os.path.exists(os.path.join(log_dir, "fit_decoder_graph.stablehlo.txt"))
+
 
 def test_task_order_assertion(tmp_path, tiny_dataset):
     cfg = _tiny_config(tmp_path, tiny_dataset)
@@ -157,6 +160,63 @@ def test_evaluate_cli(tmp_path, tiny_dataset):
     assert np.isfinite(report["psnr_mean"])
     assert report["self_consistency_psnr"] > 40
     json.dumps(report)  # serialisable
+
+
+def test_use_pallas_knob_dispatches_kernel(tmp_path, tiny_dataset, monkeypatch):
+    """TPU.USE_PALLAS must reach the model: a CLI training with the knob set
+    dispatches through the fused kernel (interpret mode off-TPU)."""
+    from reni_tpu.kernels import siren_pallas
+
+    calls = {"n": 0}
+    real = siren_pallas.fused_apply
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(siren_pallas, "fused_apply", spy)
+
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    cfg.RENI.TASKS = ["FIT_DECODER"]
+    cfg.RENI.HIDDEN_FEATURES = 128  # kernel wants lane-aligned width
+    t = cfg.RENI.FIT_DECODER
+    t.EPOCHS = 2
+    t.MULTI_RES_TRAINING = False
+    t.FINAL_RESOLUTION = [8, 16]
+    t.CURRICULUM = []
+    cfg.TPU.USE_PALLAS = True
+    cfg.TRAINER.LOGGER.LOG_IMAGES = False
+    cfg.TRAINER.CHKPTS.SAVE = False
+    results, _ = main(cfg)
+    assert calls["n"] > 0, "USE_PALLAS did not dispatch the fused kernel"
+    assert np.isfinite(results["FIT_DECODER"][1]["fit_decoder_loss"]).all()
+
+
+def test_tpu_knobs_reach_model_config():
+    from reni_tpu.models.reni import RENIConfig
+
+    cfg = get_cfg_defaults()
+    cfg.TPU.USE_PALLAS = True
+    cfg.TPU.PRECISION = "float32"
+    mc = RENIConfig.from_reni_cfg(cfg.RENI, "FIT_DECODER", tpu_cfg=cfg.TPU)
+    assert mc.use_pallas is True and mc.pallas_trunk == "float32"
+    mc = RENIConfig.from_reni_cfg(cfg.RENI, "FIT_DECODER")
+    assert mc.use_pallas is False  # no TPU block: knobs off
+
+
+def test_mesh_from_config():
+    from reni_tpu.cli.run import _mesh_from_config
+
+    cfg = get_cfg_defaults()
+    assert _mesh_from_config(cfg.TPU) is None  # default 1x1: single-program
+    cfg.TPU.MESH.DATA = 4
+    cfg.TPU.MESH.PIXEL = 2
+    m = _mesh_from_config(cfg.TPU)
+    assert m.shape == {"data": 4, "pixel": 2}
+    cfg.TPU.MESH.DATA = -1
+    cfg.TPU.MESH.PIXEL = 1
+    m = _mesh_from_config(cfg.TPU)
+    assert m.shape == {"data": 8, "pixel": 1}  # all 8 virtual devices
 
 
 def test_film_chain_via_cli(tmp_path, tiny_dataset):

@@ -191,6 +191,116 @@ def test_random_transforms_registry():
     np.testing.assert_array_equal(ident(img), img)
 
 
+def test_grayscale_keeps_three_channels():
+    rng = np.random.default_rng(11)
+    img = rng.uniform(size=(8, 16, 3)).astype(np.float32)
+    out = T.get_transform("grayscale", None)(img)
+    assert out.shape == (8, 16, 3)
+    # all channels equal to the luma
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
+    np.testing.assert_array_equal(out[..., 0], out[..., 2])
+    luma = 0.2989 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    np.testing.assert_allclose(out[..., 0], luma, rtol=1e-6)
+
+
+def test_shift_hue_matches_colorsys():
+    import colorsys
+
+    rng = np.random.default_rng(12)
+    img = rng.uniform(size=(4, 5, 3)).astype(np.float64)
+    for offset in (0.13, -0.4, 0.5):
+        ours = T.shift_hue(img, offset)
+        for i in range(4):
+            for j in range(5):
+                h, s, v = colorsys.rgb_to_hsv(*img[i, j])
+                want = colorsys.hsv_to_rgb((h + offset) % 1.0, s, v)
+                np.testing.assert_allclose(ours[i, j], want, atol=1e-12)
+    # zero offset is identity
+    np.testing.assert_allclose(T.shift_hue(img, 0.0), img, atol=1e-12)
+
+
+def test_colorjitter_hue_active():
+    rng = np.random.default_rng(13)
+    img = rng.uniform(size=(8, 16, 3)).astype(np.float32)
+    jit = T.transform_builder([["colorjitter", [0.0, 0.0, 0.0, 0.5]]], seed=7)
+    out = jit(img)
+    assert out.shape == img.shape and np.isfinite(out).all()
+    assert np.abs(out - img).max() > 1e-3  # hue arg is no longer ignored
+    # hue preserves per-pixel value (HSV V = max channel)
+    np.testing.assert_allclose(out.max(axis=-1), img.max(axis=-1), atol=1e-6)
+
+
+def test_per_epoch_reaugmentation(tmp_path):
+    """With epoch passed, random transforms re-draw per epoch (reference
+    __getitem__ semantics); the same epoch is reproducible."""
+    from PIL import Image
+
+    rng = np.random.default_rng(14)
+    for i in range(3):
+        Image.fromarray(
+            (rng.uniform(size=(16, 32, 3)) * 255).astype(np.uint8)
+        ).save(str(tmp_path / f"img{i}.png"))
+    ds = EnvironmentMapDataset(
+        str(tmp_path),
+        is_hdr=False,
+        transform_config=[["colorjitter", [0.5, 0.0, 0.0, 0.0]]],
+    )
+    assert ds.has_random_transforms
+    e0 = np.asarray(ds.images_at((8, 16), epoch=0))
+    e1 = np.asarray(ds.images_at((8, 16), epoch=1))
+    e0b = np.asarray(ds.images_at((8, 16), epoch=0))
+    assert np.abs(e0 - e1).max() > 1e-4  # different epochs, different draws
+    np.testing.assert_array_equal(e0, e0b)  # same epoch reproducible
+    # epoch=None path is cached and unaffected
+    base = np.asarray(ds.images_at((8, 16)))
+    np.testing.assert_array_equal(base, np.asarray(ds.images_at((8, 16))))
+
+
+def test_fit_task_reaugment_runs():
+    """fit_task(reaugment=True) re-fetches images per epoch and trains."""
+    import jax
+
+    from reni_tpu.core import sphere
+    from reni_tpu.models.reni import RENIConfig, RENIModel
+    from reni_tpu.train import tasks
+    from reni_tpu.train.optim import OptimConfig
+
+    model = RENIModel(
+        RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=16,
+                   output_activation=None)
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=2)
+    d = np.asarray(sphere.get_directions(16))[0]
+    rng = np.random.default_rng(15)
+    base = np.stack(
+        [np.tanh(d @ rng.normal(size=(3, 3))) for _ in range(2)]
+    ).astype(np.float32)
+
+    seen = []
+
+    def images_at(res, epoch=None):
+        seen.append(epoch)
+        scale = 1.0 if epoch is None else 1.0 + 0.01 * epoch
+        import jax.numpy as jnp
+
+        return jnp.asarray(base * scale)
+
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
+        batch_size=2,
+        epochs=4,
+        multi_res_training=False,
+        final_resolution=(8, 16),
+    )
+    p, metrics = tasks.fit_task(
+        model, params, cfg, images_at, jax.random.PRNGKey(1), reaugment=True
+    )
+    assert seen == [None, 0, 1, 2, 3]  # steps_per_epoch probe + 4 epochs
+    assert metrics["fit_decoder_loss"].shape == (4,)
+    assert np.isfinite(metrics["fit_decoder_loss"]).all()
+
+
 def test_exr_rgba_and_tiny(tmp_path):
     """Channel-name ordering (EXR stores name-sorted: A,B,G,R) and 1x2
     minimum-size images decode correctly."""

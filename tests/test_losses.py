@@ -107,6 +107,45 @@ def test_composite_losses_combine():
     np.testing.assert_allclose(float(prior), 1e-2 * 18.0, rtol=1e-6)
 
 
+def test_masked_test_loss_reduces_to_reference():
+    """reni_test_loss_masked(bmask=1) == reni_test_loss bit-for-bit, and
+    padded rows contribute exactly zero regardless of their contents."""
+    out, gt = jnp.asarray(_rand((3, 8, 3), 7)), jnp.asarray(_rand((3, 8, 3), 8))
+    sw = jnp.asarray(np.abs(_rand((3, 8, 3), 9)))
+    Z = jnp.asarray(_rand((3, 4, 3), 10))
+    ones = jnp.ones((3,))
+
+    ref = losses.reni_test_loss(out, gt, sw, Z, alpha=1e-3, beta=1e-2)
+    got = losses.reni_test_loss_masked(
+        out, gt, sw, Z, ones, alpha=1e-3, beta=1e-2
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+    # pad a garbage row: masked loss must equal the 3-row loss exactly
+    bmask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    pad = lambda x, fill: jnp.concatenate([x, jnp.full((1,) + x.shape[1:], fill)])
+    got_padded = losses.reni_test_loss_masked(
+        pad(out, 123.0), pad(gt, -7.0),
+        pad(sw, 99.0) * bmask[:, None, None],  # caller masks sineweight
+        pad(Z, 5.0) * bmask[:, None, None],    # and the latent rows
+        bmask, alpha=1e-3, beta=1e-2,
+    )
+    for a, b in zip(ref, got_padded):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_masked_inverse_loss_reduces_to_reference():
+    r, gt = jnp.asarray(_rand((3, 4, 4, 3), 11)), jnp.asarray(_rand((3, 4, 4, 3), 12))
+    Z = jnp.asarray(_rand((3, 4, 3), 13))
+    ref = losses.reni_test_loss_inverse(r, gt, Z, alpha=1e-3, beta=1e-2)
+    got = losses.reni_test_loss_inverse_masked(
+        r, gt, Z, jnp.ones((3,)), alpha=1e-3, beta=1e-2
+    )
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
 def test_psnr():
     a = jnp.zeros((4, 4))
     b = jnp.ones((4, 4)) * 0.1

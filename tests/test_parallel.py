@@ -143,6 +143,50 @@ def test_sharded_latent_table_matches_replicated():
     )
 
 
+def test_sharded_latent_table_non_divisible_rows():
+    """A latent table whose row count does not divide the data axis is
+    zero-padded for row-sharding and sliced back — numerically identical to
+    the replicated fit (no silent replication fallback)."""
+    from reni_tpu.core import sphere as sph
+    from reni_tpu.parallel.mesh import sharded_stage_runner
+    from reni_tpu.train.optim import build_optimizer
+
+    images = _synthetic(6, 16, seed=10)  # 6 rows on a 4-wide data axis
+    model = _model()
+    params0 = model.init(jax.random.PRNGKey(11), dataset_size=6)
+    opt = build_optimizer(
+        OptimConfig(lr_start=1e-3, lr_end=1e-3, epochs=3, steps_per_epoch=1)
+    )
+    step = tasks.make_fit_decoder_step(
+        model, opt, sph.get_directions(16), sph.get_sineweight(16),
+        kld_weighting=1e-4,
+    )
+    m = pmesh.make_mesh(n_data=4, n_pixel=2)
+    results = []
+    for shard_latents in (False, True):
+        state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(12))
+        runner = sharded_stage_runner(m, shard_latents=shard_latents)
+        state, metrics = runner(step, state, images, 3, 8)
+        results.append((jax.device_get(state.params), np.asarray(metrics["loss"])))
+    assert results[1][0]["latents"]["mu"].shape == (6, 4, 3)  # unpadded back
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        results[0][0],
+        results[1][0],
+    )
+
+
+def test_state_sharding_rejects_unpadded_table():
+    import pytest
+
+    model = _model()
+    params = model.init(jax.random.PRNGKey(13), dataset_size=6)
+    m = pmesh.make_mesh(n_data=4, n_pixel=2)
+    with pytest.raises(ValueError, match="pad_latent_rows"):
+        pmesh.state_sharding(m, {"latents": params["latents"]}, shard_latents=True)
+
+
 def test_decode_sharded_matches_unsharded():
     model = _model()
     params = model.init(jax.random.PRNGKey(7), dataset_size=2)
