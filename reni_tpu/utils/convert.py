@@ -37,7 +37,11 @@ Params = dict[str, Any]
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+    # copy=True is load-bearing: torch .numpy() views share the parameter's
+    # storage, and jnp.asarray is zero-copy on CPU — without the copy, a
+    # torch optimizer stepping the source module would mutate the converted
+    # jax params in place.
+    return np.array(t, dtype=np.float32, copy=True)
 
 
 def _strip_prefix(state_dict: dict) -> dict:
