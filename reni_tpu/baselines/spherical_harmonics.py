@@ -12,8 +12,13 @@ comparisons; not part of the training path.
 Implementation is independent: the real SH basis is built from scipy's
 associated Legendre functions with the standard orthonormalisation, fully
 vectorised over pixels, and the equirectangular quadrature uses the exact
-per-pixel solid angles from `reni_tpu.core.sphere` (the reference
-approximates them with sin(phi) times pixel area).
+per-pixel solid angles from `reni_tpu.core.sphere` — numerically identical
+(to 2e-9) to the reference's cos-difference solid-angle map
+(getSolidAngleMap, :344-358), so projections are apples-to-apples.
+
+A device-side differentiable path (`sh_basis_jnp`, `project_environment_jnp`,
+`reconstruct_jnp`) mirrors the reference's torch port (:690-809): pure jnp,
+Legendre recurrences instead of scipy, usable inside jit/grad pipelines.
 
 Convention: directions follow the framework's y-up equirect convention; SH
 are evaluated with polar angle measured from +y so that band contents align
@@ -104,6 +109,84 @@ def sh_representation(img: np.ndarray, n_bands: int) -> np.ndarray:
     top-level get_spherical_harmonic_representation (:823-830)."""
     coeffs = project_environment(img, n_bands)
     return reconstruct(coeffs, img.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# differentiable device-side path (the reference torch port's analog,
+# spherical_harmonics.py:690-809): pure jnp, jit/grad-compatible
+# ---------------------------------------------------------------------------
+
+
+def sh_basis_jnp(lmax: int, dirs):
+    """Real SH basis in jnp, matching `sh_basis` to fp accuracy.
+
+    dirs: (P, 3) unit directions (y-up). Returns (P, (lmax+1)^2).
+    Associated Legendre values come from the standard recurrences
+    (P_m^m, P_{m+1}^m, then the three-term l-recurrence) with the
+    Condon-Shortley phase, so the column ordering and signs agree with the
+    scipy-based host path. Differentiable w.r.t. ``dirs``; every op is
+    jit-compatible (lmax is static)."""
+    import jax.numpy as jnp
+
+    x = jnp.clip(dirs[:, 1], -1.0, 1.0)  # cos polar (y-up)
+    az = jnp.arctan2(dirs[:, 0], -dirs[:, 2])
+    s = jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0))  # sin polar
+
+    cols: list = [None] * num_coeffs(lmax)
+    sqrt2 = math.sqrt(2.0)
+    pmm = jnp.ones_like(x)
+    for m in range(lmax + 1):
+        if m > 0:
+            pmm = pmm * (-(2 * m - 1)) * s  # (-1)^m (2m-1)!! sin^m
+        p_prev2 = p_prev1 = None  # P_{l-2}^m, P_{l-1}^m
+        for l in range(m, lmax + 1):
+            if l == m:
+                p = pmm
+            elif l == m + 1:
+                p = x * (2 * m + 1) * pmm
+            else:
+                p = (x * (2 * l - 1) * p_prev1 - (l + m - 1) * p_prev2) / (l - m)
+            p_prev2, p_prev1 = p_prev1, p
+            k = math.sqrt(
+                (2 * l + 1)
+                / (4 * math.pi)
+                * math.factorial(l - m)
+                / math.factorial(l + m)
+            )
+            if m == 0:
+                cols[l * (l + 1)] = k * p
+            else:
+                cols[l * (l + 1) + m] = sqrt2 * k * jnp.cos(m * az) * p
+                cols[l * (l + 1) - m] = sqrt2 * k * jnp.sin(m * az) * p
+    return jnp.stack(cols, axis=-1)
+
+
+def project_environment_jnp(img, lmax: int):
+    """Differentiable SH projection: (H, W, C) or (P, C) env radiance ->
+    ((lmax+1)^2, C) coefficients, exact solid-angle quadrature. Gradients
+    flow to ``img`` (e.g. a decoded RENI env map)."""
+    import jax.numpy as jnp
+
+    if img.ndim == 3:
+        h, w, c = img.shape
+        flat = img.reshape(h * w, c)
+    else:
+        flat = img
+        w = int(math.isqrt(flat.shape[0] * 2))
+    dirs = sphere.get_directions(w)[0]
+    omega = sphere.get_solid_angles(w)
+    basis = sh_basis_jnp(lmax, dirs)
+    return basis.T @ (flat * omega[:, None])
+
+
+def reconstruct_jnp(coeffs, width: int):
+    """Differentiable SH reconstruction: (K, C) -> (width//2, width, C)."""
+    k = coeffs.shape[0]
+    lmax = int(math.isqrt(k)) - 1
+    assert num_coeffs(lmax) == k, f"{k} is not a square"
+    dirs = sphere.get_directions(width)[0]
+    basis = sh_basis_jnp(lmax, dirs)
+    return (basis @ coeffs).reshape(width // 2, width, coeffs.shape[1])
 
 
 # ---------------------------------------------------------------------------
