@@ -23,7 +23,16 @@ import sys
 import time
 
 
-def bench_jax(batch: int = 100, width: int = 128, steps: int = 20) -> float:
+def bench_jax(
+    batch: int = 100,
+    width: int = 128,
+    steps: int = 20,
+    *,
+    use_pallas: bool = False,
+    fast_sine: bool = False,
+) -> float:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -31,9 +40,11 @@ def bench_jax(batch: int = 100, width: int = 128, steps: int = 20) -> float:
     from reni_tpu.models.reni import RENIModel
     from reni_tpu.train import tasks
     from reni_tpu.train.optim import OptimConfig, build_optimizer
+    from reni_tpu.utils.profiling import benchmark_fn
     from __graft_entry__ import FLAGSHIP
 
-    model = RENIModel(FLAGSHIP)
+    cfg = dataclasses.replace(FLAGSHIP, use_pallas=use_pallas, fast_sine=fast_sine)
+    model = RENIModel(cfg)
     params = model.init(jax.random.PRNGKey(0), dataset_size=batch)
     directions = sphere.get_directions(width)
     sineweight = sphere.get_sineweight(width)
@@ -51,16 +62,10 @@ def bench_jax(batch: int = 100, width: int = 128, steps: int = 20) -> float:
     images = jax.random.normal(jax.random.PRNGKey(2), (batch, npix, 3), jnp.float32)
     batch_data = (images, jnp.arange(batch), jnp.ones((batch,), jnp.float32))
 
-    # warmup/compile
-    state, _ = step(state, batch_data)
-    jax.block_until_ready(state)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, batch_data)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    return batch * npix * steps / dt
+    # dependent chain (the state threads through) — same-input timing loops
+    # are unreliable on tunneled chips (dedup/pipelining)
+    dt, _ = benchmark_fn(lambda s: step(s, batch_data)[0], state, n=steps)
+    return batch * npix / dt
 
 
 def bench_torch_reference(batch: int = 10, width: int = 64, steps: int = 5) -> float:
@@ -127,7 +132,17 @@ def bench_torch_reference(batch: int = 10, width: int = 64, steps: int = 5) -> f
 
 
 def main():
-    value = bench_jax()
+    # all execution paths, so the record tracks both the kernel and XLA:
+    # xla exact-sine (reference numerics), xla fast-sine, pallas fast-sine
+    # (the fused kernel, the fastest path and the CLI default on TPU)
+    paths = {}
+    paths["xla_exact_sine"] = bench_jax()
+    try:
+        paths["xla_fast_sine"] = bench_jax(fast_sine=True)
+        paths["pallas_fast_sine"] = bench_jax(use_pallas=True, fast_sine=True)
+    except Exception:
+        pass  # non-TPU backends may lack the kernel path
+    value = max(paths.values())
     try:
         baseline = bench_torch_reference()
         vs = value / baseline
@@ -140,6 +155,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(vs, 2),
+                "paths": {k: round(v, 1) for k, v in paths.items()},
             }
         )
     )

@@ -15,7 +15,12 @@ in VMEM per pixel tile:
   (optionally bf16 inputs with f32 accumulation); sin stays f32;
 - backward recomputes activations per tile (flash-style) and accumulates
   weight gradients across the sequential TPU grid into constant-indexed
-  output blocks.
+  output blocks;
+- with ``fast_sine`` the trunk uses the polynomial sine/cosine from
+  core/fastmath.py — on the attached chip the *transcendentals*, not the
+  matmuls, dominate (jnp.sin is ~26 VPU ops), and the fast pair takes the
+  measured forward from 35.3 to 9.0 ms and backward from 41.5 to 17.3 ms
+  at the published workload (PERF.md round-2 table).
 
 Grid: (B, npix / TM). Outputs are channel-padded to 8 lanes; callers slice
 [..., :3].
@@ -61,20 +66,20 @@ def _dot(a, b, dims, trunk_dtype):
 
 def _fwd_kernel(
     d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, out_ref,
-    *, n_hidden, omega0, omega_h, trunk_dtype,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sine,
 ):
     d = d_ref[...]  # (TM, K_PAD)
-    h = jnp.sin(omega0 * (_matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]))
+    h = sine(omega0 * (_matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]))
     for i in range(n_hidden):
         z = _matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]
-        h = jnp.sin(omega_h * z)
+        h = sine(omega_h * z)
     out_ref[0] = _matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0]
 
 
 def _bwd_kernel(
     d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, g_ref,
     da_ref, db0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref,
-    *, n_hidden, omega0, omega_h, trunk_dtype,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sine, cosine,
 ):
     b = pl.program_id(0)
     pt = pl.program_id(1)
@@ -94,12 +99,12 @@ def _bwd_kernel(
     d = d_ref[...]  # (TM, K_PAD)
     # recompute forward, stashing pre-activations' cos and activations
     z0 = _matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]
-    hs = [jnp.sin(omega0 * z0)]
+    hs = [sine(omega0 * z0)]
     zs = [z0]
     for i in range(n_hidden):
         z = _matmul(hs[-1], ws_ref[i], trunk_dtype) + bs_ref[i]
         zs.append(z)
-        hs.append(jnp.sin(omega_h * z))
+        hs.append(sine(omega_h * z))
 
     g = g_ref[0]  # (TM, C_PAD)
     # final linear
@@ -108,19 +113,19 @@ def _bwd_kernel(
     dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)  # (TM, H)
 
     for i in reversed(range(n_hidden)):
-        dz = dh * (omega_h * jnp.cos(omega_h * zs[i + 1]))
+        dz = dh * (omega_h * cosine(omega_h * zs[i + 1]))
         dws_ref[i] += _dot(hs[i], dz, ((0,), (0,)), trunk_dtype)
         dbs_ref[i] += jnp.sum(dz, axis=0)
         dh = _dot(dz, ws_ref[i], ((1,), (1,)), trunk_dtype)
 
-    dz0 = dh * (omega0 * jnp.cos(omega0 * zs[0]))
+    dz0 = dh * (omega0 * cosine(omega0 * zs[0]))
     da_ref[0] += _dot(d, dz0, ((0,), (0,)), trunk_dtype)
     db0_ref[0] += jnp.sum(dz0, axis=0)
 
 
 def _film_fwd_kernel(
     d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, out_ref,
-    *, n_trunk, hidden, trunk_dtype,
+    *, n_trunk, hidden, trunk_dtype, sine,
 ):
     d = d_ref[...]  # (TM, K_PAD)
     f = fr_ref[0, 0]  # (T*H,)
@@ -133,14 +138,14 @@ def _film_fwd_kernel(
             else _matmul(h, ws_ref[i - 1], trunk_dtype)
         ) + bs_ref[i]
         lo = i * hidden
-        h = jnp.sin(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
+        h = sine(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
     out_ref[0] = _matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0]
 
 
 def _film_bwd_kernel(
     d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, g_ref,
     da0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref, dfr_ref, dph_ref,
-    *, n_trunk, hidden, trunk_dtype,
+    *, n_trunk, hidden, trunk_dtype, sine, cosine,
 ):
     b = pl.program_id(0)
     pt = pl.program_id(1)
@@ -171,7 +176,7 @@ def _film_bwd_kernel(
             else _matmul(h, ws_ref[i - 1], trunk_dtype)
         ) + bs_ref[i]
         lo = i * hidden
-        h = jnp.sin(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
+        h = sine(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
         pres.append(pre)
         hs.append(h)
 
@@ -183,7 +188,7 @@ def _film_bwd_kernel(
     for i in reversed(range(n_trunk)):
         lo = i * hidden
         fi = f[lo : lo + hidden]
-        cos = jnp.cos(fi * pres[i] + p[lo : lo + hidden])
+        cos = cosine(fi * pres[i] + p[lo : lo + hidden])
         dmod = dh * cos  # d/d(f*pre + p)
         dfr_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod * pres[i], axis=0)
         dph_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod, axis=0)
@@ -203,6 +208,7 @@ def make_fused_film(
     tile: int = 512,
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
+    fast_sine: bool = False,
 ):
     """Fused FiLM decoder trunk:
 
@@ -212,7 +218,11 @@ def make_fused_film(
 
     freqs/phases are the *scaled* modulations (freq*15+30 applied outside).
     Differentiable in everything except d_pad."""
-    kw = dict(n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype)
+    from reni_tpu.core.fastmath import sine_fns
+
+    sine, cosine = sine_fns(fast_sine)
+    kw = dict(n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype, sine=sine)
+    kw_bwd = dict(kw, cosine=cosine)
 
     def specs(tm):
         return [
@@ -245,7 +255,7 @@ def make_fused_film(
         batch, npix = a0.shape[0], d_pad.shape[0]
         tm = min(tile, npix)
         return pl.pallas_call(
-            functools.partial(_film_bwd_kernel, **kw),
+            functools.partial(_film_bwd_kernel, **kw_bwd),
             grid=(batch, npix // tm),
             in_specs=specs(tm)
             + [
@@ -288,10 +298,11 @@ def make_fused_film(
 
 
 @functools.lru_cache(maxsize=16)
-def _get_film_kernel(n_trunk, hidden, tile, trunk, interpret):
+def _get_film_kernel(n_trunk, hidden, tile, trunk, interpret, fast_sine):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_film(
-        n_trunk, hidden, tile=tile, trunk_dtype=dtype, interpret=interpret
+        n_trunk, hidden, tile=tile, trunk_dtype=dtype, interpret=interpret,
+        fast_sine=fast_sine,
     )
 
 
@@ -308,6 +319,7 @@ def fused_film_apply(
     tile: int = 512,
     trunk: str = "bfloat16",
     interpret: bool | None = None,
+    fast_sine: bool = False,
 ):
     """Drop-in for film.apply_film_decomposed on the Pallas path.
 
@@ -358,7 +370,9 @@ def fused_film_apply(
     wf = jnp.pad(params["final"]["w"], ((0, 0), (0, C_PAD - out_features)))
     bf = jnp.pad(params["final"]["b"], ((0, C_PAD - out_features),))[None]
 
-    kernel = _get_film_kernel(n_trunk, hidden_features, tm, trunk, interpret)
+    kernel = _get_film_kernel(
+        n_trunk, hidden_features, tm, trunk, interpret, fast_sine
+    )
     out = kernel(d_pad, a0_pad, ws, bs, wf, bf, fr, ph)[..., :out_features]
     if output_activation == "exp":
         return jnp.exp(out)
@@ -376,6 +390,7 @@ def make_fused_siren(
     tile: int = 512,
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
+    fast_sine: bool = False,
 ):
     """Build the fused decoder trunk:
 
@@ -384,9 +399,14 @@ def make_fused_siren(
 
     Differentiable in everything except d_pad (directions are constants).
     """
+    from reni_tpu.core.fastmath import sine_fns
+
+    sine, cosine = sine_fns(fast_sine)
     kw = dict(
-        n_hidden=n_hidden, omega0=omega0, omega_h=omega_h, trunk_dtype=trunk_dtype
+        n_hidden=n_hidden, omega0=omega0, omega_h=omega_h,
+        trunk_dtype=trunk_dtype, sine=sine,
     )
+    kw_bwd = dict(kw, cosine=cosine)
 
     def fwd_call(d_pad, a, b0, ws, bs, wf, bf):
         batch, npix = a.shape[0], d_pad.shape[0]
@@ -425,7 +445,7 @@ def make_fused_siren(
             jax.ShapeDtypeStruct(bf.shape, jnp.float32),
         )
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, **kw),
+            functools.partial(_bwd_kernel, **kw_bwd),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tm, K_PAD), lambda b, p: (p, 0), memory_space=pltpu.VMEM),
@@ -508,11 +528,11 @@ def pack_inputs(params, equivariance: str, ndims: int, Z, d_feats):
 
 
 @functools.lru_cache(maxsize=16)
-def _get_kernel(n_hidden, hidden, omega0, omega_h, tile, trunk, interpret):
+def _get_kernel(n_hidden, hidden, omega0, omega_h, tile, trunk, interpret, fast_sine):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_siren(
         n_hidden, hidden, omega0, omega_h,
-        tile=tile, trunk_dtype=dtype, interpret=interpret,
+        tile=tile, trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
     )
 
 
@@ -532,6 +552,7 @@ def fused_apply(
     tile: int = 512,
     trunk: str = "bfloat16",
     interpret: bool | None = None,
+    fast_sine: bool = False,
 ):
     """Drop-in for siren.apply_siren_decomposed on the Pallas path.
 
@@ -554,7 +575,7 @@ def fused_apply(
     )
     kernel = _get_kernel(
         hidden_layers, hidden_features, first_omega_0, hidden_omega_0,
-        tm, trunk, interpret,
+        tm, trunk, interpret, fast_sine,
     )
     out = kernel(d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad)[..., :out_features]
     if output_activation == "exp":

@@ -138,8 +138,12 @@ def apply_film_decomposed(
     *,
     hidden_features: int,
     output_activation: str | None,
+    fast_sine: bool = False,
 ) -> jnp.ndarray:
     """Full FiLM decoder forward: Z (B, N, 3), D (B, npix, 3) -> (B, npix, out)."""
+    from reni_tpu.core.fastmath import sine_fns
+
+    sine, _ = sine_fns(fast_sine)
     parts = encodings.z_parts(equivariance, Z)
     freqs, phases = apply_mapping_network(params["mapping"], parts["bias_feats"])
     freqs = freqs * 15.0 + 30.0
@@ -154,7 +158,7 @@ def apply_film_decomposed(
             pre = _first_film_pre(layer, equivariance, d_feats, parts["proj"])
         else:
             pre = h @ layer["w"] + layer["b"]
-        h = jnp.sin(f * pre + p)
+        h = sine(f * pre + p)
     out = h @ params["final"]["w"] + params["final"]["b"]
     return _output_activation(out, output_activation)
 

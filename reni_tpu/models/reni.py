@@ -65,6 +65,11 @@ class RENIConfig:
     # TPU execution knobs (absent from the reference; numerics-preserving)
     use_pallas: bool = False  # fused trunk kernel for Cond-by-Concat decoders
     pallas_trunk: str = "bfloat16"  # bfloat16 | float32 matmul inputs
+    # polynomial sine (core/fastmath.py): ~3.6e-6 abs error, 2-4x faster
+    # trunk on TPU (the sine, not the matmul, dominates the hot path); off by
+    # default for bitwise reference parity — the CLI enables it via
+    # TPU.FAST_SINE
+    fast_sine: bool = False
 
     @property
     def is_variational(self) -> bool:
@@ -92,6 +97,7 @@ class RENIConfig:
                 if str(tpu_cfg.PRECISION).lower() == "float32"
                 else "bfloat16"
             )
+            tpu_kwargs["fast_sine"] = bool(tpu_cfg.get("FAST_SINE", False))
         return cls(
             **tpu_kwargs,
             model_type=reni_cfg.MODEL_TYPE,
@@ -233,6 +239,7 @@ class RENIModel:
                     out_features=cfg.out_features,
                     output_activation=cfg.output_activation,
                     trunk=cfg.pallas_trunk,
+                    fast_sine=cfg.fast_sine,
                 )
             if cfg.last_layer_linear:
                 from reni_tpu.kernels.siren_pallas import fused_apply
@@ -250,6 +257,7 @@ class RENIModel:
                     hidden_omega_0=cfg.hidden_omega_0,
                     output_activation=cfg.output_activation,
                     trunk=cfg.pallas_trunk,
+                    fast_sine=cfg.fast_sine,
                 )
         if D.shape[0] == 1 and Z.shape[0] != 1:
             D = jnp.broadcast_to(D, (Z.shape[0],) + D.shape[1:])
@@ -261,6 +269,7 @@ class RENIModel:
                 D,
                 hidden_features=cfg.hidden_features,
                 output_activation=cfg.output_activation,
+                fast_sine=cfg.fast_sine,
             )
         return siren.apply_siren_decomposed(
             params["decoder"],
@@ -272,6 +281,7 @@ class RENIModel:
             output_activation=cfg.output_activation,
             first_omega_0=cfg.first_omega_0,
             hidden_omega_0=cfg.hidden_omega_0,
+            fast_sine=cfg.fast_sine,
         )
 
     def apply_concat(self, params: Params, Z, D) -> jnp.ndarray:

@@ -157,13 +157,14 @@ def apply_trunk(
     last_layer_linear: bool,
     output_activation: str | None,
     hidden_omega_0: float,
+    sine=jnp.sin,
 ) -> jnp.ndarray:
     """Hidden sine layers + final layer, given first-layer *activations* h."""
     for layer in params["layers"][1:]:
-        h = jnp.sin(hidden_omega_0 * (h @ layer["w"] + layer["b"]))
+        h = sine(hidden_omega_0 * (h @ layer["w"] + layer["b"]))
     out = h @ params["final"]["w"] + params["final"]["b"]
     if not last_layer_linear:
-        out = jnp.sin(hidden_omega_0 * out)
+        out = sine(hidden_omega_0 * out)
     return _output_activation(out, output_activation)
 
 
@@ -178,14 +179,20 @@ def apply_siren_decomposed(
     output_activation: str | None,
     first_omega_0: float,
     hidden_omega_0: float,
+    fast_sine: bool = False,
 ) -> jnp.ndarray:
     """Full decoder forward on latents Z (B, N, 3) and directions D (B, npix, 3)
     via the decomposed first layer. Returns (B, npix, out)."""
+    from reni_tpu.core.fastmath import sine_fns
+
+    sine, _ = sine_fns(fast_sine)
     d_feats = encodings.d_features(equivariance, D)
     parts = encodings.z_parts(equivariance, Z)
     pre = first_layer_pre(params["layers"][0], equivariance, ndims, d_feats, parts)
-    h = jnp.sin(first_omega_0 * pre)
-    return apply_trunk(params, h, last_layer_linear, output_activation, hidden_omega_0)
+    h = sine(first_omega_0 * pre)
+    return apply_trunk(
+        params, h, last_layer_linear, output_activation, hidden_omega_0, sine
+    )
 
 
 def apply_siren_concat(

@@ -175,3 +175,70 @@ def test_fused_film_gradients_match_jnp():
         gp,
         gr,
     )
+
+
+def test_fused_apply_fast_sine_matches_fast_jnp():
+    """Kernel with fast_sine must equal the jnp decomposed path with the
+    same fast sine (identical semantics, different executor)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from reni_tpu.kernels.siren_pallas import fused_apply
+    from reni_tpu.models import siren
+    from reni_tpu.models.reni import RENIConfig, RENIModel
+
+    cfg = RENIConfig(
+        equivariance="SO2",
+        latent_dim=4,
+        hidden_layers=2,
+        hidden_features=128,
+        output_activation="tanh",
+    )
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), dataset_size=2)
+    rng = np.random.default_rng(2)
+    Z = jnp.asarray(rng.normal(size=(2, 4, 3)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(1, 128, 3)).astype(np.float32))
+
+    ref = siren.apply_siren_decomposed(
+        params["decoder"], "SO2", 4, Z,
+        jnp.broadcast_to(D, (2, 128, 3)),
+        last_layer_linear=True, output_activation="tanh",
+        first_omega_0=30.0, hidden_omega_0=30.0, fast_sine=True,
+    )
+    out = fused_apply(
+        params["decoder"], "SO2", 4, Z, D,
+        hidden_layers=2, hidden_features=128, out_features=3,
+        first_omega_0=30.0, hidden_omega_0=30.0, output_activation="tanh",
+        trunk="float32", interpret=True, fast_sine=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # gradients through the custom VJP with fast sine/cosine
+    def loss_k(p, z):
+        o = fused_apply(
+            p, "SO2", 4, z, D,
+            hidden_layers=2, hidden_features=128, out_features=3,
+            first_omega_0=30.0, hidden_omega_0=30.0, output_activation="tanh",
+            trunk="float32", interpret=True, fast_sine=True,
+        )
+        return jnp.sum(o ** 2)
+
+    def loss_j(p, z):
+        o = siren.apply_siren_decomposed(
+            p, "SO2", 4, z, jnp.broadcast_to(D, (2, 128, 3)),
+            last_layer_linear=True, output_activation="tanh",
+            first_omega_0=30.0, hidden_omega_0=30.0, fast_sine=True,
+        )
+        return jnp.sum(o ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(params["decoder"], Z)
+    gj = jax.grad(loss_j, argnums=(0, 1))(params["decoder"], Z)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3
+        ),
+        gk,
+        gj,
+    )
