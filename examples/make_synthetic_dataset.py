@@ -1,0 +1,86 @@
+"""Generate a synthetic HDR environment-map dataset (SG-mixture skies).
+
+    python examples/make_synthetic_dataset.py --out /tmp/reni_synth \
+        [--train 100] [--test 21] [--width 128] [--seed 0]
+
+Writes Train/ and Test/ folders of equirectangular EXRs shaped like natural
+illumination: an elevation-graded ambient sky, a few broad colored
+spherical-Gaussian lobes (clouds/bounce), a small high-intensity sun lobe,
+and a darker ground hemisphere. Used for the PERF.md published-scale runs
+and the latent-dimension sweep — the repo has no dataset downloads by
+design (zero egress), so experiments run on these skies.
+
+The maps are plausible but out-of-family for the RENI paper's captured HDR
+dataset; PSNR numbers on them are for cross-path comparisons, not paper
+parity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_sky(rng: np.random.Generator, width: int = 128) -> np.ndarray:
+    """One synthetic HDR sky (width//2, width, 3), float32, radiance > 0."""
+    from reni_tpu.core import sphere
+
+    h = width // 2
+    dirs = np.asarray(sphere.get_directions(width))[0].reshape(h, width, 3)
+    up = dirs[..., 1]  # y-up elevation
+
+    # ambient: horizon-to-zenith gradient with a random tint
+    zen = np.asarray(rng.uniform(0.4, 1.2, size=3)) * np.asarray([0.5, 0.7, 1.0])
+    hor = np.asarray(rng.uniform(0.3, 1.0, size=3))
+    t = np.clip(up, 0.0, 1.0)[..., None]
+    img = (1 - t) * hor + t * zen
+
+    # broad SG lobes (clouds / environment bounce)
+    for _ in range(rng.integers(3, 7)):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        sharp = rng.uniform(2.0, 12.0)
+        amp = rng.uniform(0.2, 1.5, size=3)
+        img += amp * np.exp(sharp * (dirs @ axis - 1.0))[..., None]
+
+    # sun: sharp, very bright, above the horizon
+    sun = rng.normal(size=3)
+    sun[1] = abs(sun[1]) + 0.2
+    sun /= np.linalg.norm(sun)
+    sun_amp = rng.uniform(50.0, 2000.0)
+    sun_col = np.asarray([1.0, rng.uniform(0.7, 1.0), rng.uniform(0.4, 0.9)])
+    img += sun_amp * sun_col * np.exp(rng.uniform(80, 400) * (dirs @ sun - 1.0))[..., None]
+
+    # ground hemisphere: darker albedo-like color
+    ground = np.asarray(rng.uniform(0.05, 0.4, size=3))
+    img = np.where(up[..., None] < 0.0, img * 0.15 + ground, img)
+    return np.maximum(img, 1e-6).astype(np.float32)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--train", type=int, default=100)
+    ap.add_argument("--test", type=int, default=21)
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(args.seed)
+    for split, n in (("Train", args.train), ("Test", args.test)):
+        d = os.path.join(args.out, split)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            exr.write(os.path.join(d, f"sky_{i:04d}.exr"), make_sky(rng, args.width))
+        print(f"{split}: {n} EXRs at {args.width // 2}x{args.width} -> {d}")
+
+
+if __name__ == "__main__":
+    main()

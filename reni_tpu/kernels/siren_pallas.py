@@ -68,7 +68,7 @@ def _fwd_kernel(
     d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, out_ref,
     *, n_hidden, omega0, omega_h, trunk_dtype, sine,
 ):
-    d = d_ref[...]  # (TM, K_PAD)
+    d = d_ref[0]  # (TM, K_PAD)
     h = sine(omega0 * (_matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]))
     for i in range(n_hidden):
         z = _matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]
@@ -96,7 +96,7 @@ def _bwd_kernel(
         da_ref[...] = jnp.zeros_like(da_ref)
         db0_ref[...] = jnp.zeros_like(db0_ref)
 
-    d = d_ref[...]  # (TM, K_PAD)
+    d = d_ref[0]  # (TM, K_PAD)
     # recompute forward, stashing pre-activations' cos and activations
     z0 = _matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]
     hs = [sine(omega0 * z0)]
@@ -127,7 +127,7 @@ def _film_fwd_kernel(
     d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, out_ref,
     *, n_trunk, hidden, trunk_dtype, sine,
 ):
-    d = d_ref[...]  # (TM, K_PAD)
+    d = d_ref[0]  # (TM, K_PAD)
     f = fr_ref[0, 0]  # (T*H,)
     p = ph_ref[0, 0]
     h = None
@@ -163,7 +163,7 @@ def _film_bwd_kernel(
         dfr_ref[...] = jnp.zeros_like(dfr_ref)
         dph_ref[...] = jnp.zeros_like(dph_ref)
 
-    d = d_ref[...]
+    d = d_ref[0]
     f = fr_ref[0, 0]
     p = ph_ref[0, 0]
     # recompute forward, stashing pre-activations and activations
@@ -224,9 +224,10 @@ def make_fused_film(
     kw = dict(n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype, sine=sine)
     kw_bwd = dict(kw, cosine=cosine)
 
-    def specs(tm):
+    def specs(tm, d_batched):
+        d_idx = (lambda b, p: (b, p, 0)) if d_batched else (lambda b, p: (0, p, 0))
         return [
-            pl.BlockSpec((tm, K_PAD), lambda b, p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, K_PAD), d_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -237,13 +238,13 @@ def make_fused_film(
         ]
 
     def fwd_call(d_pad, a0, ws, bs, wf, bf, fr, ph):
-        batch, npix = a0.shape[0], d_pad.shape[0]
+        batch, npix = a0.shape[0], d_pad.shape[1]
         tm = min(tile, npix)
         assert npix % tm == 0, (npix, tm)
         return pl.pallas_call(
             functools.partial(_film_fwd_kernel, **kw),
             grid=(batch, npix // tm),
-            in_specs=specs(tm),
+            in_specs=specs(tm, d_pad.shape[0] > 1),
             out_specs=pl.BlockSpec(
                 (1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM
             ),
@@ -252,12 +253,12 @@ def make_fused_film(
         )(d_pad, a0, ws, bs, wf, bf, fr, ph)
 
     def bwd_call(d_pad, a0, ws, bs, wf, bf, fr, ph, g):
-        batch, npix = a0.shape[0], d_pad.shape[0]
+        batch, npix = a0.shape[0], d_pad.shape[1]
         tm = min(tile, npix)
         return pl.pallas_call(
             functools.partial(_film_bwd_kernel, **kw_bwd),
             grid=(batch, npix // tm),
-            in_specs=specs(tm)
+            in_specs=specs(tm, d_pad.shape[0] > 1)
             + [
                 pl.BlockSpec((1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM),
             ],
@@ -332,8 +333,8 @@ def fused_film_apply(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    d_feats = encodings.d_features(equivariance, D[:1])[0]
-    npix = d_feats.shape[0]
+    d_feats = encodings.d_features(equivariance, D)  # (B_d, npix, k)
+    npix = d_feats.shape[1]
     tm = min(tile, npix)
     if npix % tm or hidden_features % 128:
         raise ValueError(f"unsupported shapes for pallas film path: {npix=}")
@@ -358,7 +359,7 @@ def fused_film_apply(
     else:
         a0 = jnp.einsum("bcn,nh->bch", parts["proj"], w0)
     a0_pad = jnp.pad(a0, ((0, 0), (0, K_PAD - a0.shape[1]), (0, 0)))
-    d_pad = jnp.pad(d_feats, ((0, 0), (0, K_PAD - d_feats.shape[-1])))
+    d_pad = jnp.pad(d_feats, ((0, 0), (0, 0), (0, K_PAD - d_feats.shape[-1])))
 
     n_trunk = hidden_layers
     ws = (
@@ -409,15 +410,20 @@ def make_fused_siren(
     kw_bwd = dict(kw, cosine=cosine)
 
     def fwd_call(d_pad, a, b0, ws, bs, wf, bf):
-        batch, npix = a.shape[0], d_pad.shape[0]
+        batch, npix = a.shape[0], d_pad.shape[1]
         tm = min(tile, npix)
         assert npix % tm == 0, (npix, tm)
         grid = (batch, npix // tm)
+        d_idx = (
+            (lambda b, p: (b, p, 0))
+            if d_pad.shape[0] > 1
+            else (lambda b, p: (0, p, 0))
+        )
         return pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tm, K_PAD), lambda b, p: (p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tm, K_PAD), d_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -433,9 +439,14 @@ def make_fused_siren(
         )(d_pad, a, b0, ws, bs, wf, bf)
 
     def bwd_call(d_pad, a, b0, ws, bs, wf, bf, g):
-        batch, npix = a.shape[0], d_pad.shape[0]
+        batch, npix = a.shape[0], d_pad.shape[1]
         tm = min(tile, npix)
         grid = (batch, npix // tm)
+        d_idx = (
+            (lambda b, p: (b, p, 0))
+            if d_pad.shape[0] > 1
+            else (lambda b, p: (0, p, 0))
+        )
         out_shapes = (
             jax.ShapeDtypeStruct(a.shape, jnp.float32),
             jax.ShapeDtypeStruct(b0.shape, jnp.float32),
@@ -448,7 +459,7 @@ def make_fused_siren(
             functools.partial(_bwd_kernel, **kw_bwd),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tm, K_PAD), lambda b, p: (p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tm, K_PAD), d_idx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -516,7 +527,9 @@ def pack_inputs(params, equivariance: str, ndims: int, Z, d_feats):
         jnp.einsum("bm,mh->bh", parts["bias_feats"], w_bias) + layer0["b"]
     )[:, None, :]  # (B, 1, H) — sublane-aligned block shape for the kernel
 
-    d_pad = jnp.pad(d_feats, ((0, 0), (0, K_PAD - d_feats.shape[-1])))
+    d_pad = jnp.pad(
+        d_feats, ((0, 0),) * (d_feats.ndim - 1) + ((0, K_PAD - d_feats.shape[-1]),)
+    )
 
     ws = jnp.stack([l["w"] for l in params["layers"][1:]])  # (L, H, H)
     bs = jnp.stack([l["b"] for l in params["layers"][1:]])  # (L, H)
@@ -556,16 +569,16 @@ def fused_apply(
 ):
     """Drop-in for siren.apply_siren_decomposed on the Pallas path.
 
-    D: (1, npix, 3) or (B, npix, 3) — the direction grid must be shared
-    across the batch (true for all training tasks). interpret=None
+    D: (1, npix, 3) shared grid, or (B, npix, 3) per-image grids (each
+    image's tiles read their own direction block). interpret=None
     auto-selects interpret mode off-TPU (Mosaic only targets TPU)."""
     from reni_tpu.core import encodings
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    d_feats = encodings.d_features(equivariance, D[:1])[0]  # (npix, k)
-    npix = d_feats.shape[0]
+    d_feats = encodings.d_features(equivariance, D)  # (B_d, npix, k)
+    npix = d_feats.shape[1]
     tm = min(tile, npix)
     if npix % tm or hidden_features % 128:
         raise ValueError(f"unsupported shapes for pallas path: {npix=}, {hidden_features=}")

@@ -218,14 +218,14 @@ class RENIModel:
         Returns (B, npix, out_features).
         """
         cfg = self.config
-        use_pallas = cfg.use_pallas and D.shape[0] == 1
+        use_pallas = cfg.use_pallas and D.shape[0] in (1, Z.shape[0])
         if use_pallas:
             from reni_tpu.kernels.siren_pallas import kernel_supported
 
             use_pallas = kernel_supported(D.shape[1], cfg.hidden_features)
         if use_pallas:
-            # fused Pallas trunk; requires a direction grid shared across the
-            # batch (true for all training tasks)
+            # fused Pallas trunk; the direction grid may be shared (1, P, 3)
+            # or per-image (B, P, 3)
             if cfg.is_film:
                 from reni_tpu.kernels.siren_pallas import fused_film_apply
 

@@ -242,3 +242,42 @@ def test_fused_apply_fast_sine_matches_fast_jnp():
         gk,
         gj,
     )
+
+
+def test_fused_apply_per_image_direction_grids():
+    """The kernel accepts (B, P, 3) per-image grids, matching the jnp path
+    (each image's tiles read their own direction block)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from reni_tpu.kernels.siren_pallas import fused_apply
+    from reni_tpu.models import siren
+    from reni_tpu.models.reni import RENIConfig, RENIModel
+
+    cfg = RENIConfig(
+        equivariance="SO2",
+        latent_dim=4,
+        hidden_layers=1,
+        hidden_features=128,
+        output_activation="tanh",
+    )
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(3), dataset_size=3)
+    rng = np.random.default_rng(4)
+    Z = jnp.asarray(rng.normal(size=(3, 4, 3)).astype(np.float32))
+    D = rng.normal(size=(3, 128, 3)).astype(np.float32)
+    D = jnp.asarray(D / np.linalg.norm(D, axis=-1, keepdims=True))
+
+    ref = siren.apply_siren_decomposed(
+        params["decoder"], "SO2", 4, Z, D,
+        last_layer_linear=True, output_activation="tanh",
+        first_omega_0=30.0, hidden_omega_0=30.0,
+    )
+    out = fused_apply(
+        params["decoder"], "SO2", 4, Z, D,
+        hidden_layers=1, hidden_features=128, out_features=3,
+        first_omega_0=30.0, hidden_omega_0=30.0, output_activation="tanh",
+        trunk="float32", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
