@@ -324,19 +324,6 @@ def main(config, mesh=None, resume=None):
 
     tasks_list = list(config.RENI.TASKS)
     load_path = config.TRAINER.CHKPTS.LOAD_PATH
-    if len(tasks_list) > 1 and load_path is None:
-        assert tasks_list[0] == "FIT_DECODER", (
-            "FIT_DECODER must run first unless TRAINER.CHKPTS.LOAD_PATH is set"
-        )
-    if tasks_list and tasks_list[0] != "FIT_DECODER":
-        assert load_path is not None, (
-            "non-FIT_DECODER first task requires TRAINER.CHKPTS.LOAD_PATH"
-        )
-
-    deadline = None
-    max_hours = float(config.TRAINER.MAX_RUNTIME or 0)
-    if max_hours > 0:
-        deadline = time.time() + max_hours * 3600.0
 
     if resume is not None:
         resume = ckpt.find_latest(resume)  # dirs resolve to the newest ckpt
@@ -346,6 +333,24 @@ def main(config, mesh=None, resume=None):
             f"--resume checkpoint is for task {rtask!r}; put that task first "
             f"in RENI.TASKS (got {tasks_list})"
         )
+        if load_path is None:
+            # the resume checkpoint carries full params (decoder included),
+            # so it also serves as the decoder source for follow-on tasks
+            load_path = resume
+    if len(tasks_list) > 1 and load_path is None:
+        assert tasks_list[0] == "FIT_DECODER", (
+            "FIT_DECODER must run first unless TRAINER.CHKPTS.LOAD_PATH is set"
+        )
+    if tasks_list and tasks_list[0] != "FIT_DECODER":
+        assert load_path is not None, (
+            "non-FIT_DECODER first task requires TRAINER.CHKPTS.LOAD_PATH "
+            "or --resume"
+        )
+
+    deadline = None
+    max_hours = float(config.TRAINER.MAX_RUNTIME or 0)
+    if max_hours > 0:
+        deadline = time.time() + max_hours * 3600.0
 
     chkpt_path = load_path
     results = {}

@@ -81,12 +81,13 @@ def init_film_siren(
     mapping_layers: int,
     mapping_features: int,
     out_features: int,
+    first_layer_init_scale: float = 1.0,
 ) -> Params:
     """FiLM decoder params: trunk of ``siren_hidden_layers`` FiLM layers, a
     final linear, and the mapping network producing 2*T*h modulation values."""
     n_trunk = siren_hidden_layers
     keys = jax.random.split(key, n_trunk + 2)
-    freq_bound_first = 1.0 / siren_in_features
+    freq_bound_first = first_layer_init_scale / siren_in_features
     layers = [
         init_linear(keys[0], siren_in_features, hidden_features, freq_bound_first)
     ]

@@ -65,6 +65,12 @@ class RENIConfig:
     # TPU execution knobs (absent from the reference; numerics-preserving)
     use_pallas: bool = False  # fused trunk kernel for Cond-by-Concat decoders
     pallas_trunk: str = "bfloat16"  # bfloat16 | float32 matmul inputs
+    # first-layer weight init bound multiplier (reference: U(+-1/in),
+    # RENI.py:79). The SO2 input width grows as N^2, which *shrinks* the
+    # first-layer pre-activation std ~ sqrt(1/in) and starves sin(30x) of
+    # frequency coverage at large N — scale ~ sqrt(in(N)/in(49)) (2.0 at
+    # N=100) restores the flagship activation scale. 1.0 = reference init.
+    first_layer_init_scale: float = 1.0
     # polynomial sine (core/fastmath.py): ~3.6e-6 abs error, 2-4x faster
     # trunk on TPU (the sine, not the matmul, dominates the hot path); off by
     # default for bitwise reference parity — the CLI enables it via
@@ -90,6 +96,9 @@ class RENIConfig:
         trunk kernel, PRECISION its matmul input dtype."""
         fixed = task in ("FIT_LATENT", "FIT_INVERSE") if task is not None else False
         tpu_kwargs = {}
+        fls = reni_cfg.get("FIRST_LAYER_INIT_SCALE", 1.0)
+        if fls is not None and float(fls) != 1.0:
+            tpu_kwargs["first_layer_init_scale"] = float(fls)
         if tpu_cfg is not None:
             tpu_kwargs["use_pallas"] = bool(tpu_cfg.USE_PALLAS)
             tpu_kwargs["pallas_trunk"] = (
@@ -140,6 +149,7 @@ class RENIModel:
                 cfg.mapping_layers,
                 cfg.mapping_features,
                 cfg.out_features,
+                first_layer_init_scale=cfg.first_layer_init_scale,
             )
         in_features = encodings.concat_in_features(cfg.equivariance, cfg.latent_dim)
         return siren.init_siren(
@@ -151,6 +161,7 @@ class RENIModel:
             cfg.last_layer_linear,
             cfg.first_omega_0,
             cfg.hidden_omega_0,
+            first_layer_init_scale=cfg.first_layer_init_scale,
         )
 
     def init_latents(self, key, dataset_size: int) -> Params:

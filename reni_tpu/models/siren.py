@@ -66,12 +66,20 @@ def init_siren(
     last_layer_linear: bool,
     first_omega_0: float,
     hidden_omega_0: float,
+    first_layer_init_scale: float = 1.0,
 ) -> Params:
     """Initialise the SIREN stack: 1 first sine layer, ``hidden_layers`` hidden
-    sine layers, and a final layer (linear or sine)."""
+    sine layers, and a final layer (linear or sine). The first-layer bound
+    is ``first_layer_init_scale / in`` (reference: 1/in; see
+    RENIConfig.first_layer_init_scale for the wide-N rationale)."""
     n_layers = 1 + hidden_layers
     keys = jax.random.split(key, n_layers + 1)
-    layers = [init_linear(keys[0], in_features, hidden_features, 1.0 / in_features)]
+    layers = [
+        init_linear(
+            keys[0], in_features, hidden_features,
+            first_layer_init_scale / in_features,
+        )
+    ]
     hidden_bound = math.sqrt(6.0 / hidden_features) / hidden_omega_0
     for i in range(hidden_layers):
         layers.append(

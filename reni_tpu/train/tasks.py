@@ -529,6 +529,12 @@ def fit_task(
         if stop:
             break
 
+    if not all_metrics:
+        raise ValueError(
+            f"nothing to train: start_epoch={start_epoch} >= "
+            f"epochs={task_cfg.epochs} (the resume checkpoint already "
+            "completed this task — raise EPOCHS to continue it)"
+        )
     merged = {
         f"{task_cfg.task.lower()}_{k}": np.concatenate(
             [np.asarray(m[k]) for m in all_metrics]

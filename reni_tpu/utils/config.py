@@ -90,6 +90,10 @@ _DEFAULTS = {
         "HIDDEN_OMEGA_0": 30.0,
         "MAPPING_LAYERS": 3,
         "MAPPING_FEATURES": 256,
+        # TPU-build extension: first-layer init bound multiplier (1.0 = the
+        # reference's U(+-1/in)); ~sqrt(in(N)/in(49)) compensates the
+        # shrinking pre-activation std at large latent dims (PERF.md sweep)
+        "FIRST_LAYER_INIT_SCALE": 1.0,
         "FIT_DECODER": {
             **_TASK_COMMON,
             "LR_START": 1e-5,
@@ -172,7 +176,7 @@ _DEFAULTS = {
         "MESH": {"DATA": 1, "PIXEL": 1},
         "USE_PALLAS": True,  # fused Pallas decoder trunk — the fastest path
         # (auto-falls back to XLA for shapes the kernel does not support,
-        # e.g. hidden widths not lane-aligned or per-image direction grids)
+        # e.g. hidden widths not lane-aligned)
         # matmul precision: bfloat16 = the TPU's native bf16-input matmul
         # (the platform default); float32/tensorfloat32 force full/TF32
         # precision via jax_default_matmul_precision

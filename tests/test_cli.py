@@ -162,6 +162,21 @@ def test_evaluate_cli(tmp_path, tiny_dataset):
     json.dumps(report)  # serialisable
 
 
+def test_resume_non_decoder_task_without_load_path(tmp_path, tiny_dataset):
+    """--resume of a FIT_LATENT checkpoint must not require LOAD_PATH: the
+    resume checkpoint carries full params (crash-recovery flow)."""
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    results, log_dir = main(cfg)
+
+    cfg2 = _tiny_config(tmp_path, tiny_dataset)
+    cfg2.RENI.TASKS = ["FIT_LATENT"]
+    cfg2.RENI.FIT_LATENT.EPOCHS = 16  # resume from epoch 12 -> 4 more
+    results2, _ = main(cfg2, resume=os.path.join(log_dir, "checkpoints"))
+    m = results2["FIT_LATENT"][1]
+    assert m["fit_latent_loss"].shape == (4,)
+    assert np.isfinite(m["fit_latent_loss"]).all()
+
+
 def test_use_pallas_knob_dispatches_kernel(tmp_path, tiny_dataset, monkeypatch):
     """TPU.USE_PALLAS must reach the model: a CLI training with the knob set
     dispatches through the fused kernel (interpret mode off-TPU)."""

@@ -221,3 +221,35 @@ def test_fast_sine_model_close_and_differentiable():
         np.testing.assert_allclose(
             np.asarray(g_fast), np.asarray(g_exact), atol=2e-3, rtol=2e-2
         )
+
+
+def test_first_layer_init_scale():
+    """FIRST_LAYER_INIT_SCALE multiplies only the first-layer weight bound
+    (reference default 1/in preserved at 1.0)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+
+    from reni_tpu.models.reni import RENIConfig, RENIModel
+    from reni_tpu.utils.config import get_cfg_defaults
+
+    cfg = RENIConfig(latent_dim=8, hidden_layers=1, hidden_features=32)
+    base = RENIModel(cfg).init(jax.random.PRNGKey(0), 2)
+    wide = RENIModel(dataclasses.replace(cfg, first_layer_init_scale=2.0)).init(
+        jax.random.PRNGKey(0), 2
+    )
+    w0b = np.abs(np.asarray(base["decoder"]["layers"][0]["w"]))
+    w0w = np.abs(np.asarray(wide["decoder"]["layers"][0]["w"]))
+    np.testing.assert_allclose(w0w, 2.0 * w0b, rtol=1e-6)  # same key: exact 2x
+    # hidden layers untouched
+    np.testing.assert_array_equal(
+        np.asarray(base["decoder"]["layers"][1]["w"]),
+        np.asarray(wide["decoder"]["layers"][1]["w"]),
+    )
+
+    # wired from the config tree
+    tree = get_cfg_defaults()
+    tree.RENI.FIRST_LAYER_INIT_SCALE = 3.0
+    mc = RENIConfig.from_reni_cfg(tree.RENI, "FIT_DECODER")
+    assert mc.first_layer_init_scale == 3.0
