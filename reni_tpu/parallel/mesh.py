@@ -175,17 +175,9 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
             state, pad_sizes = pad_latent_rows(state, mesh.shape["data"])
         state = jax.device_put(state, state_sharding(mesh, state, shard_latents))
 
-        def epoch_body(state, _):
-            state, ms = jax.lax.scan(
-                lambda s, b: step_fn(s, b), state, (imgs_b, idx_b, bmask_b)
-            )
-            return state, jax.tree.map(lambda x: x.mean(), ms)
-
-        import functools
-
-        @functools.partial(jax.jit, static_argnames=("length",))
-        def run(state, length):
-            return jax.lax.scan(epoch_body, state, None, length=length)
+        # same memoized whole-stage program as the single-device runner —
+        # GSPMD partitioning follows the input shardings placed above
+        run = _tasks._scan_runner(step_fn)
 
         cap = _tasks._max_steps_per_program()
         nb = idx_b.shape[0]
@@ -194,7 +186,7 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
         done = 0
         while done < n_epochs:
             seg = min(epochs_per_program, n_epochs - done)
-            state, metrics = run(state, seg)
+            state, metrics = run(state, imgs_b, idx_b, bmask_b, seg)
             chunks.append(metrics)
             done += seg
         state = unpad_latent_rows(state, pad_sizes)

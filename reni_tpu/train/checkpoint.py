@@ -82,9 +82,11 @@ def save_checkpoint(
     bitwise mid-task resume — a capability the reference only gets through
     Lightning's full-trainer checkpoints."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    flat = _flatten(jax.tree.map(np.asarray, params))
+    # one batched device->host fetch per tree (per-leaf np.asarray would be
+    # one transfer round trip per leaf — ~2 s per save on a tunneled chip)
+    flat = _flatten(jax.device_get(params))
     if opt_state is not None:
-        flat.update(_flatten(jax.tree.map(np.asarray, opt_state), f"__opt__{_SEP}"))
+        flat.update(_flatten(jax.device_get(opt_state), f"__opt__{_SEP}"))
     if rng_key is not None:
         if jax.dtypes.issubdtype(rng_key.dtype, jax.dtypes.prng_key):
             rng_key = jax.random.key_data(rng_key)

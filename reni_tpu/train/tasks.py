@@ -330,6 +330,31 @@ def _max_steps_per_program() -> int:
     return int(os.environ.get("RENI_TPU_MAX_SCAN_STEPS", "4096"))
 
 
+@functools.lru_cache(maxsize=64)
+def _scan_runner(step_fn: Callable):
+    """The compiled whole-stage program for a step function: scan(epochs) of
+    scan(batches) of step_fn.
+
+    Memoized on the step_fn object — run_stage is re-entered at every
+    callback segment (checkpoints/images every N epochs), and a fresh jit
+    closure per call meant a full recompile per segment (~20 s per segment
+    for the Pallas backward through a tunneled chip; the wall-clock was
+    dominated by compiles, not steps). One compile per (step_fn, shapes,
+    length) is the intended cost: one per resolution stage."""
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run(state, imgs_b, idx_b, bmask_b, length):
+        def epoch_body(state, _):
+            state, ms = jax.lax.scan(
+                lambda s, b: step_fn(s, b), state, (imgs_b, idx_b, bmask_b)
+            )
+            return state, jax.tree.map(lambda x: x.mean(), ms)
+
+        return jax.lax.scan(epoch_body, state, None, length=length)
+
+    return run
+
+
 def run_stage(
     step_fn: Callable,
     state: TrainState,
@@ -350,16 +375,7 @@ def run_stage(
     bmask_b = jnp.asarray(bmask)
     nb = idx_b.shape[0]
 
-    def epoch_body(state, _):
-        def batch_body(state, batch):
-            return step_fn(state, batch)
-
-        state, ms = jax.lax.scan(batch_body, state, (imgs_b, idx_b, bmask_b))
-        return state, jax.tree.map(lambda x: x.mean(), ms)
-
-    @functools.partial(jax.jit, static_argnames=("length",))
-    def run(state, length):
-        return jax.lax.scan(epoch_body, state, None, length=length)
+    run = _scan_runner(step_fn)
 
     cap = _max_steps_per_program()
     epochs_per_program = max(1, cap // nb) if cap else n_epochs
@@ -367,7 +383,7 @@ def run_stage(
     done = 0
     while done < n_epochs:
         seg = min(epochs_per_program, n_epochs - done)
-        state, metrics = run(state, seg)
+        state, metrics = run(state, imgs_b, idx_b, bmask_b, seg)
         chunks.append(metrics)
         done += seg
     if len(chunks) == 1:
