@@ -302,10 +302,7 @@ def _dump_model_graph(model, params, log_dir: str, task: str) -> None:
         f.write(txt)
 
 
-def main(config, mesh=None, resume=None):
-    _apply_precision(config)
-    if mesh is None:
-        mesh = _mesh_from_config(config.TPU)
+def _new_log_dir(config) -> str:
     save_dir = config.TRAINER.LOGGER.TB.SAVE_DIR
     name = (
         experiment_name(config)
@@ -315,7 +312,15 @@ def main(config, mesh=None, resume=None):
     version = 0
     while os.path.exists(os.path.join(save_dir, name, f"version_{version}")):
         version += 1
-    log_dir = os.path.join(save_dir, name, f"version_{version}")
+    return os.path.join(save_dir, name, f"version_{version}")
+
+
+def main(config, mesh=None, resume=None, log_dir=None):
+    _apply_precision(config)
+    if mesh is None:
+        mesh = _mesh_from_config(config.TPU)
+    if log_dir is None:
+        log_dir = _new_log_dir(config)
     wandb_cfg = None
     if config.TRAINER.LOGGER_TYPE == "wandb":
         wandb_cfg = dict(config.TRAINER.LOGGER.WANDB)
@@ -377,6 +382,64 @@ def main(config, mesh=None, resume=None):
     return results, log_dir
 
 
+def _auto_resume_plan(config, log_dir: str):
+    """(tasks_list, resume, load_path) to continue a crashed run from its
+    newest checkpoint — the crash-retry policy behind ``--retries``.
+
+    A task whose newest checkpoint has reached its EPOCHS (or is the
+    ``_final`` file) is treated as complete: the chain restarts at the NEXT
+    task with that checkpoint as the decoder source. Otherwise the task
+    itself resumes mid-way (params + optimizer state + RNG)."""
+    ckdir = os.path.join(log_dir, config.TRAINER.CHKPTS.SAVE_DIR)
+    try:
+        latest = ckpt.find_latest(ckdir)
+    except (FileNotFoundError, OSError):
+        return list(config.RENI.TASKS), None, config.TRAINER.CHKPTS.LOAD_PATH
+    _, meta = ckpt._meta_only(latest)
+    rtask = meta.get("task")
+    tasks_list = list(config.RENI.TASKS)
+    i = tasks_list.index(rtask) if rtask in tasks_list else 0
+    task_epochs = int(config.RENI[rtask].EPOCHS) if rtask in config.RENI else 0
+    complete = latest.endswith("_final") or (
+        int(meta.get("epoch", 0)) >= task_epochs > 0
+    )
+    if complete:
+        return tasks_list[i + 1 :], None, latest
+    return tasks_list[i:], latest, None
+
+
+def run_with_retries(config, mesh=None, resume=None, retries: int = 0):
+    """Drive ``main`` with crash-retries: on an unexpected exception, resume
+    from the newest checkpoint in the same run directory (the tunneled-TPU
+    worker crashes sporadically under sustained load; see CLAUDE.md). A
+    retry loses at most TRAINER.CHKPTS.EVERY_N_EPOCHS epochs."""
+    import traceback
+
+    log_dir = _new_log_dir(config)
+    attempt = 0
+    while True:
+        try:
+            return main(config, mesh=mesh, resume=resume, log_dir=log_dir)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            if attempt >= retries:
+                raise
+            attempt += 1
+            traceback.print_exc()
+            tasks_list, resume, load_path = _auto_resume_plan(config, log_dir)
+            if not tasks_list:
+                raise  # everything already completed; surface the error
+            config = config.clone()
+            config.RENI.TASKS = tasks_list
+            config.TRAINER.CHKPTS.LOAD_PATH = load_path
+            print(
+                f"[retry {attempt}/{retries}] resuming tasks={tasks_list} "
+                f"resume={resume} load_path={load_path}",
+                flush=True,
+            )
+
+
 def _parse_mesh(spec: str | None):
     if not spec:
         return None
@@ -400,7 +463,16 @@ if __name__ == "__main__":
         "state + epoch) or a run directory (resolves to its newest "
         "checkpoint); the checkpoint's task must be first in RENI.TASKS",
     )
+    parser.add_argument(
+        "--retries",
+        type=int,
+        default=0,
+        help="crash-retries: on failure, resume from the run's newest "
+        "checkpoint (at most EVERY_N_EPOCHS epochs are repeated)",
+    )
     args = parser.parse_args()
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.cfg_path)
-    main(cfg, mesh=_parse_mesh(args.mesh), resume=args.resume)
+    run_with_retries(
+        cfg, mesh=_parse_mesh(args.mesh), resume=args.resume, retries=args.retries
+    )

@@ -247,3 +247,72 @@ def test_film_chain_via_cli(tmp_path, tiny_dataset):
     # FiLM checkpoints restore decoder-only across tasks (mapping included)
     p_lat = results["FIT_LATENT"][0]
     assert "mapping" in p_lat["decoder"]
+
+
+def test_run_with_retries_recovers_from_crash(tmp_path, tiny_dataset, monkeypatch):
+    """A crash between tasks: --retries resumes the chain from the newest
+    checkpoint instead of dying (tunneled-TPU worker crash recovery)."""
+    import reni_tpu.cli.run as R
+
+    real_run_task = R.run_task
+    crashed = {"done": False}
+
+    def flaky_run_task(config, task, *a, **k):
+        if task == "FIT_LATENT" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated TPU worker crash")
+        return real_run_task(config, task, *a, **k)
+
+    monkeypatch.setattr(R, "run_task", flaky_run_task)
+
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    results, log_dir = R.run_with_retries(cfg, retries=2)
+    assert "FIT_LATENT" in results
+    assert np.isfinite(results["FIT_LATENT"][1]["fit_latent_loss"]).all()
+    # the retry reused the same run dir
+    cks = os.listdir(os.path.join(log_dir, "checkpoints"))
+    assert any(c.startswith("fit_decoder_final") for c in cks)
+    assert any(c.startswith("fit_latent_final") for c in cks)
+
+
+def test_auto_resume_plan(tmp_path):
+    """The crash-retry policy: mid-task -> resume it; complete -> next task."""
+    import time as _time
+
+    import jax
+
+    from reni_tpu.cli.run import _auto_resume_plan
+    from reni_tpu.models.reni import RENIConfig, RENIModel
+    from reni_tpu.train import checkpoint as ckpt
+
+    cfg = get_cfg_defaults()
+    cfg.RENI.TASKS = ["FIT_DECODER", "FIT_LATENT"]
+    cfg.RENI.FIT_DECODER.EPOCHS = 12
+    log_dir = str(tmp_path)
+    ckdir = os.path.join(log_dir, "checkpoints")
+
+    # no checkpoints: start from scratch
+    tasks_list, resume, load = _auto_resume_plan(cfg, log_dir)
+    assert tasks_list == ["FIT_DECODER", "FIT_LATENT"] and resume is None
+
+    model = RENIModel(RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=16))
+    params = model.init(jax.random.PRNGKey(0), 2)
+
+    # mid-task checkpoint: resume FIT_DECODER itself
+    ckpt.save_checkpoint(
+        os.path.join(ckdir, "fit_decoder_latest"), params,
+        metadata={"task": "FIT_DECODER", "epoch": 6},
+    )
+    tasks_list, resume, load = _auto_resume_plan(cfg, log_dir)
+    assert tasks_list == ["FIT_DECODER", "FIT_LATENT"]
+    assert resume and resume.endswith("fit_decoder_latest") and load is None
+
+    # completed task (epoch == EPOCHS): move on to FIT_LATENT from it
+    _time.sleep(0.01)
+    ckpt.save_checkpoint(
+        os.path.join(ckdir, "fit_decoder_latest"), params,
+        metadata={"task": "FIT_DECODER", "epoch": 12},
+    )
+    tasks_list, resume, load = _auto_resume_plan(cfg, log_dir)
+    assert tasks_list == ["FIT_LATENT"]
+    assert resume is None and load.endswith("fit_decoder_latest")
