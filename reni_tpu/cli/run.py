@@ -2,7 +2,8 @@
 
 Usage:
     python -m reni_tpu.cli.run --cfg_path configs/experiment.yaml
-    python -m reni_tpu.cli.run --cfg_path ... --mesh 4x2   # data x pixel
+    python -m reni_tpu.cli.run --cfg_path ... --mesh 4x2    # data x pixel
+    python -m reni_tpu.cli.run --cfg_path ... --mesh 2x2x2  # + model (TP)
 
 Behavioural parity with reference run.py:29-138:
 - auto experiment naming from hyperparameters (run.py:43-49);
@@ -17,7 +18,7 @@ Behavioural parity with reference run.py:29-138:
   (RENI_module.py:278-280).
 
 TPU differences: the trainer is jit-scanned (no Lightning), distribution is
-a --mesh flag (data x pixel axes) instead of DDP process spawning, and
+a --mesh flag (data x pixel x model axes) instead of DDP process spawning, and
 metrics stream to JSONL + TensorBoard.
 """
 
@@ -99,6 +100,12 @@ def run_task(
     model_cfg = RENIConfig.from_reni_cfg(
         config.RENI, task, tpu_cfg=config.get("TPU")
     )
+    if mesh is not None and mesh.shape.get("model", 1) > 1 and model_cfg.use_pallas:
+        # tensor parallelism shards the trunk weights GSPMD cannot push
+        # through an opaque pallas_call — TP training takes the XLA path
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg, use_pallas=False)
     model = RENIModel(model_cfg)
     key = jax.random.PRNGKey(int(config.TRAINER.SEED))
     k_init, k_fit, k_img = jax.random.split(key, 3)
@@ -275,17 +282,18 @@ def _apply_precision(config) -> None:
 
 
 def _mesh_from_config(tpu_cfg):
-    """TPU.MESH -> default ('data', 'pixel') mesh when --mesh is absent.
-    DATA -1 spreads all remaining devices on the data axis; a resulting
-    1-device mesh means the single-program path (returns None)."""
+    """TPU.MESH -> default ('data', 'pixel', 'model') mesh when --mesh is
+    absent. DATA -1 spreads all remaining devices on the data axis; a
+    resulting 1-device mesh means the single-program path (returns None)."""
     nd, np_ = int(tpu_cfg.MESH.DATA), int(tpu_cfg.MESH.PIXEL)
+    nm = int(tpu_cfg.MESH.get("MODEL", 1))
     if nd == -1:
-        nd = max(1, len(jax.devices()) // max(np_, 1))
-    if nd * np_ <= 1:
+        nd = max(1, len(jax.devices()) // max(np_ * nm, 1))
+    if nd * np_ * nm <= 1:
         return None
     from reni_tpu.parallel.mesh import make_mesh
 
-    return make_mesh(n_data=nd, n_pixel=np_)
+    return make_mesh(n_data=nd, n_pixel=np_, n_model=nm)
 
 
 def _dump_model_graph(model, params, log_dir: str, task: str) -> None:
@@ -445,15 +453,17 @@ def _parse_mesh(spec: str | None):
         return None
     from reni_tpu.parallel.mesh import make_mesh
 
-    nd, np_ = (int(x) for x in spec.lower().split("x"))
-    return make_mesh(n_data=nd, n_pixel=np_)
+    dims = [int(x) for x in spec.lower().split("x")]
+    nd, np_ = dims[0], dims[1] if len(dims) > 1 else 1
+    nm = dims[2] if len(dims) > 2 else 1
+    return make_mesh(n_data=nd, n_pixel=np_, n_model=nm)
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg_path", type=str, default="configs/experiment.yaml")
     parser.add_argument(
-        "--mesh", type=str, default=None, help="device mesh as DATAxPIXEL, e.g. 4x2"
+        "--mesh", type=str, default=None, help="device mesh as DATAxPIXEL[xMODEL], e.g. 4x2 or 2x2x2"
     )
     parser.add_argument(
         "--resume",

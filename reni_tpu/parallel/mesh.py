@@ -13,6 +13,15 @@ expert parallelism to mirror (SURVEY §2c). The TPU-native equivalent is a
   parallel" analog for a spherical field (SURVEY §2c): every direction is
   independent, so sharding it is communication-free until the loss
   reduction's psum. Used for large-resolution decodes/renders.
+- ``model`` axis: tensor parallelism over the SIREN trunk's hidden-feature
+  dimension. Alternating column/row-parallel weight shardings (Megatron
+  layout) so each layer *pair* costs one all-reduce; GSPMD inserts the
+  collectives from the parameter shardings alone. The reference has no TP
+  (SURVEY §2c: "not required for parity; net is a 256-wide MLP") — this
+  axis exists for decoders too wide for one chip (the SO2 first-layer width
+  grows as N^2, and the activation working set grows with batch x npix x
+  hidden). The fused Pallas trunk assumes chip-resident weights, so TP
+  training runs the XLA path (the CLI drops USE_PALLAS when MODEL > 1).
 
 Everything goes through ``jax.jit`` with NamedShardings (GSPMD); no manual
 collectives are needed for the training path.
@@ -28,17 +37,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    n_data: int = -1, n_pixel: int = 1, devices=None
+    n_data: int = -1, n_pixel: int = 1, n_model: int = 1, devices=None
 ) -> Mesh:
-    """Build a ('data', 'pixel') mesh. n_data=-1 uses all remaining devices."""
+    """Build a ('data', 'pixel', 'model') mesh. n_data=-1 uses all remaining
+    devices. Axis sizes of 1 are kept (a size-1 axis in a PartitionSpec is a
+    no-op), so every mesh carries all three names."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data == -1:
-        assert n % n_pixel == 0, (n, n_pixel)
-        n_data = n // n_pixel
-    assert n_data * n_pixel <= n, (n_data, n_pixel, n)
-    grid = np.array(devices[: n_data * n_pixel]).reshape(n_data, n_pixel)
-    return Mesh(grid, axis_names=("data", "pixel"))
+        assert n % (n_pixel * n_model) == 0, (n, n_pixel, n_model)
+        n_data = n // (n_pixel * n_model)
+    used = n_data * n_pixel * n_model
+    assert used <= n, (n_data, n_pixel, n_model, n)
+    grid = np.array(devices[:used]).reshape(n_data, n_pixel, n_model)
+    return Mesh(grid, axis_names=("data", "pixel", "model"))
+
+
+def model_axis_size(mesh: Mesh) -> int:
+    return mesh.shape.get("model", 1)
 
 
 def batch_sharding(mesh: Mesh) -> tuple[NamedSharding, NamedSharding, NamedSharding]:
@@ -70,6 +86,86 @@ def shard_stage_data(mesh: Mesh, imgs_b, idx_b, bmask_b):
     )
 
 
+def _path_keys(path) -> list:
+    """Flatten a tree_util key path to plain dict keys / list indices /
+    attribute names (DictKey, SequenceKey, GetAttrKey all appear: params are
+    dicts+lists, optax states are NamedTuples)."""
+    keys = []
+    for p in path:
+        for attr in ("key", "idx", "name"):
+            k = getattr(p, attr, None)
+            if k is not None:
+                keys.append(k)
+                break
+    return keys
+
+
+def _decoder_leaf_role(path):
+    """Identify a decoder weight leaf anywhere in a TrainState (params or
+    the matching adam-moment leaves): ('layers', i, 'w'|'b'),
+    ('final', 'w'|'b'), ('mapping',) or None."""
+    keys = _path_keys(path)
+    if "decoder" not in keys:
+        return None
+    tail = keys[keys.index("decoder") + 1 :]
+    if len(tail) == 3 and tail[0] == "layers" and isinstance(tail[1], int):
+        return ("layers", tail[1], tail[2])
+    if len(tail) == 2 and tail[0] == "final":
+        return ("final", tail[1])
+    if tail and tail[0] == "mapping":
+        return ("mapping",)
+    return None
+
+
+def _n_trunk_layers(state) -> int:
+    """Number of entries in the decoder's ``layers`` list, discovered from
+    leaf paths (the decoder may live in the trainable or the frozen tree)."""
+    n = 0
+    for path, _ in jax.tree_util.tree_leaves_with_path(state):
+        role = _decoder_leaf_role(path)
+        if role is not None and role[0] == "layers":
+            n = max(n, role[1] + 1)
+    return n
+
+
+def _tp_spec(path, leaf, n_model: int, n_trunk: int):
+    """Megatron-style alternating partition spec for one decoder leaf.
+
+    Even trunk layers are column-parallel (output features sharded), odd
+    layers row-parallel (input features sharded, psum'd output); the final
+    linear is row-parallel iff the last trunk layer left its activations
+    feature-sharded. The mapping network (FiLM) stays replicated — its
+    modulations are per-image (B, h), negligible next to the per-pixel
+    trunk. Non-divisible feature dims raise rather than silently replicate.
+    """
+    role = _decoder_leaf_role(path)
+    if role is None:
+        return None
+
+    def check(dim: int):
+        if dim % n_model != 0:
+            raise ValueError(
+                f"decoder leaf {jax.tree_util.keystr(path)} has feature dim "
+                f"{dim}, not divisible by the model axis ({n_model}); pick "
+                "a model-axis size dividing HIDDEN_FEATURES"
+            )
+
+    if role[0] == "layers":
+        _, i, wb = role
+        col = i % 2 == 0
+        if wb == "w":
+            check(leaf.shape[1] if col else leaf.shape[0])
+            return P(None, "model") if col else P("model", None)
+        if col:
+            check(leaf.shape[0])
+            return P("model")
+        return P()
+    if role[0] == "final" and role[1] == "w" and (n_trunk - 1) % 2 == 0:
+        check(leaf.shape[0])
+        return P("model", None)
+    return P()
+
+
 def _is_latent_table(path, leaf) -> bool:
     return (
         hasattr(leaf, "ndim")
@@ -79,13 +175,19 @@ def _is_latent_table(path, leaf) -> bool:
     )
 
 
-def state_sharding(mesh: Mesh, state, shard_latents: bool = False):
+def state_sharding(
+    mesh: Mesh, state, shard_latents: bool = False, shard_model: bool | None = None
+):
     """Sharding tree for a TrainState: everything replicated, except —
-    with ``shard_latents`` — latent-table leaves (and their optimizer
-    moments) row-sharded over the 'data' axis. That is the SURVEY §2c
-    "embedding-style sharded latent table": per-image rows are model state,
-    so for huge datasets the (S, N, 3) tables shard by row and XLA gathers
-    the batch rows (disjoint per shard under sequential batching).
+
+    - with ``shard_latents``: latent-table leaves (and their optimizer
+      moments) row-sharded over the 'data' axis. That is the SURVEY §2c
+      "embedding-style sharded latent table": per-image rows are model
+      state, so for huge datasets the (S, N, 3) tables shard by row and XLA
+      gathers the batch rows (disjoint per shard under sequential batching).
+    - with ``shard_model`` (default: on iff the mesh's 'model' axis is >1):
+      decoder trunk weights (and their adam moments) tensor-parallel over
+      the 'model' axis in the alternating column/row layout of ``_tp_spec``.
 
     Tables whose row count does not divide the data axis cannot be
     row-sharded by GSPMD — pad them first (``pad_latent_rows``, which
@@ -93,13 +195,22 @@ def state_sharding(mesh: Mesh, state, shard_latents: bool = False):
     unpadded raises rather than silently replicating (an OOM surprise at the
     huge-dataset scale this feature exists for)."""
     rep = NamedSharding(mesh, P())
-    if not shard_latents:
+    n_model = model_axis_size(mesh)
+    if shard_model is None:
+        shard_model = n_model > 1
+    shard_model = shard_model and n_model > 1
+    if not shard_latents and not shard_model:
         return jax.tree.map(lambda _: rep, state)
     row = NamedSharding(mesh, P("data", None, None))
     n_data = mesh.shape["data"]
+    n_trunk = _n_trunk_layers(state) if shard_model else 0
 
     def pick(path, leaf):
-        if _is_latent_table(path, leaf):
+        if shard_model:
+            spec = _tp_spec(path, leaf, n_model, n_trunk)
+            if spec is not None:
+                return NamedSharding(mesh, spec)
+        if shard_latents and _is_latent_table(path, leaf):
             if leaf.shape[0] % n_data != 0:
                 raise ValueError(
                     f"latent table {jax.tree_util.keystr(path)} has "

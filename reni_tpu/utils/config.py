@@ -171,9 +171,11 @@ _DEFAULTS = {
     # TPU-specific extensions (absent from the reference; defaults preserve
     # single-chip behaviour)
     "TPU": {
-        # default mesh when --mesh is absent; 1x1 = single-program path,
-        # DATA: -1 = all remaining devices on the data axis
-        "MESH": {"DATA": 1, "PIXEL": 1},
+        # default mesh when --mesh is absent; 1x1x1 = single-program path,
+        # DATA: -1 = all remaining devices on the data axis; MODEL > 1
+        # tensor-parallelises the decoder trunk (hidden features sharded,
+        # Megatron column/row layout — parallel/mesh.py)
+        "MESH": {"DATA": 1, "PIXEL": 1, "MODEL": 1},
         "USE_PALLAS": True,  # fused Pallas decoder trunk — the fastest path
         # (auto-falls back to XLA for shapes the kernel does not support,
         # e.g. hidden widths not lane-aligned)

@@ -227,11 +227,16 @@ def test_mesh_from_config():
     cfg.TPU.MESH.DATA = 4
     cfg.TPU.MESH.PIXEL = 2
     m = _mesh_from_config(cfg.TPU)
-    assert m.shape == {"data": 4, "pixel": 2}
+    assert m.shape == {"data": 4, "pixel": 2, "model": 1}
     cfg.TPU.MESH.DATA = -1
     cfg.TPU.MESH.PIXEL = 1
     m = _mesh_from_config(cfg.TPU)
-    assert m.shape == {"data": 8, "pixel": 1}  # all 8 virtual devices
+    # all 8 virtual devices
+    assert m.shape == {"data": 8, "pixel": 1, "model": 1}
+    cfg.TPU.MESH.DATA = -1
+    cfg.TPU.MESH.MODEL = 2
+    m = _mesh_from_config(cfg.TPU)
+    assert m.shape == {"data": 4, "pixel": 1, "model": 2}
 
 
 def test_film_chain_via_cli(tmp_path, tiny_dataset):

@@ -37,11 +37,15 @@ def _synthetic(n, width, seed=0):
 
 def test_make_mesh_shapes():
     m = pmesh.make_mesh()
-    assert m.shape == {"data": 8, "pixel": 1}
+    assert m.shape == {"data": 8, "pixel": 1, "model": 1}
     m = pmesh.make_mesh(n_pixel=2)
-    assert m.shape == {"data": 4, "pixel": 2}
+    assert m.shape == {"data": 4, "pixel": 2, "model": 1}
     m = pmesh.make_mesh(n_data=2, n_pixel=4)
-    assert m.shape == {"data": 2, "pixel": 4}
+    assert m.shape == {"data": 2, "pixel": 4, "model": 1}
+    m = pmesh.make_mesh(n_data=2, n_pixel=2, n_model=2)
+    assert m.shape == {"data": 2, "pixel": 2, "model": 2}
+    m = pmesh.make_mesh(n_model=4)
+    assert m.shape == {"data": 2, "pixel": 1, "model": 4}
 
 
 def test_pad_batch_to():
@@ -254,7 +258,7 @@ def test_multihost_single_process_noop():
     assert multihost.initialize() is False  # no coordinator: no-op
     assert multihost.is_primary() is True
     m = multihost.global_mesh(n_pixel=2)
-    assert m.shape == {"data": 4, "pixel": 2}
+    assert m.shape == {"data": 4, "pixel": 2, "model": 1}
 
 
 def test_profiling_trace_and_benchmark():
@@ -276,3 +280,126 @@ def test_profiling_trace_and_benchmark():
         import os
 
         assert any(os.scandir(d))  # trace files written
+
+
+def test_tp_training_matches_single_device():
+    """Tensor-parallel trunk (model axis, Megatron column/row layout) must
+    reproduce the unsharded fit — GSPMD inserts the psums, semantics are
+    unchanged up to fp reassociation of the sharded contractions."""
+    images = _synthetic(6, 16, seed=20)
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-4, lr_end=1e-5),
+        batch_size=8,
+        epochs=5,
+        multi_res_training=False,
+        final_resolution=(8, 16),
+        kld_weighting=1e-4,
+    )
+    model = _model()
+    params0 = model.init(jax.random.PRNGKey(21), dataset_size=6)
+
+    p_single, m_single = tasks.fit_task(
+        model, params0, cfg, lambda res: images, jax.random.PRNGKey(22)
+    )
+    m = pmesh.make_mesh(n_data=2, n_pixel=2, n_model=2)
+    p_tp, m_tp = tasks.fit_task(
+        model, params0, cfg, lambda res: images, jax.random.PRNGKey(22), mesh=m
+    )
+    np.testing.assert_allclose(
+        m_single["fit_decoder_loss"], m_tp["fit_decoder_loss"], rtol=5e-4
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5
+        ),
+        p_single,
+        p_tp,
+    )
+
+
+def test_tp_only_mesh_matches_single_device():
+    """A pure-TP mesh (1 x 1 x 8: hidden features split 8 ways, 4 lanes per
+    shard) must also match — no data/pixel sharding to hide behind."""
+    images = _synthetic(4, 16, seed=23)
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-4, lr_end=1e-4),
+        batch_size=4,
+        epochs=3,
+        multi_res_training=False,
+        final_resolution=(8, 16),
+        kld_weighting=1e-4,
+    )
+    model = _model()
+    params0 = model.init(jax.random.PRNGKey(24), dataset_size=4)
+    p_single, m_single = tasks.fit_task(
+        model, params0, cfg, lambda res: images, jax.random.PRNGKey(25)
+    )
+    m = pmesh.make_mesh(n_data=1, n_pixel=1, n_model=8)
+    p_tp, m_tp = tasks.fit_task(
+        model, params0, cfg, lambda res: images, jax.random.PRNGKey(25), mesh=m
+    )
+    np.testing.assert_allclose(
+        m_single["fit_decoder_loss"], m_tp["fit_decoder_loss"], rtol=5e-4
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5
+        ),
+        p_single,
+        p_tp,
+    )
+
+
+def test_tp_specs_alternate_and_shard_moments():
+    """The TP layout: even trunk layers column-parallel, odd row-parallel,
+    final row-parallel iff fed sharded activations; adam moments shard like
+    their parameters."""
+    from jax.sharding import PartitionSpec as P
+    from reni_tpu.train.optim import build_optimizer
+
+    model = _model()  # 1 hidden layer -> trunk layers [0, 1], final fed by odd
+    params = model.init(jax.random.PRNGKey(26), dataset_size=4)
+    opt = build_optimizer(
+        OptimConfig(lr_start=1e-3, lr_end=1e-3, epochs=1, steps_per_epoch=1)
+    )
+    state = tasks.init_train_state(model, params, opt, jax.random.PRNGKey(27))
+    m = pmesh.make_mesh(n_data=2, n_pixel=2, n_model=2)
+    sh = pmesh.state_sharding(m, state)
+
+    dec = sh.trainable["decoder"]
+    assert dec["layers"][0]["w"].spec == P(None, "model")
+    assert dec["layers"][0]["b"].spec == P("model")
+    assert dec["layers"][1]["w"].spec == P("model", None)
+    assert dec["layers"][1]["b"].spec == P()
+    # trunk has 2 layers; last (idx 1) is row-parallel -> final replicated
+    assert dec["final"]["w"].spec == P()
+    # latents stay replicated; adam moments mirror the parameter shardings
+    assert sh.trainable["latents"]["mu"].spec == P()
+    moment_specs = {
+        str(p): s.spec
+        for p, s in jax.tree_util.tree_leaves_with_path(sh.opt_state)
+        if "decoder" in str(p)
+    }
+    assert any(v == P(None, "model") for v in moment_specs.values())
+    assert any(v == P("model", None) for v in moment_specs.values())
+
+
+def test_tp_rejects_non_divisible_hidden():
+    import pytest
+
+    model = RENIModel(
+        RENIConfig(
+            model_type="AutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=30,  # not divisible by model axis 4
+            output_activation=None,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(28), dataset_size=2)
+    m = pmesh.make_mesh(n_data=1, n_pixel=2, n_model=4)
+    with pytest.raises(ValueError, match="model axis"):
+        pmesh.state_sharding(m, {"decoder": params["decoder"]})
