@@ -33,10 +33,20 @@ class Config(dict):
             return Config({k: Config._wrap(v) for k, v in value.items()})
         return value
 
-    def merge_from_dict(self, other: dict) -> "Config":
+    def merge_from_dict(self, other: dict, _prefix: str = "") -> "Config":
+        """Deep-merge ``other`` into this tree. Keys absent from the
+        defaults raise (yacs ``merge_from_file`` semantics — a silently
+        ignored typo'd or misplaced key is a config bug: e.g. the per-task
+        blocks live under RENI, not at the top level)."""
         for k, v in other.items():
+            dotted = f"{_prefix}{k}"
+            if k not in self:
+                raise KeyError(
+                    f"non-existent config key: {dotted!r} (reference schema "
+                    "configs/default.py; per-task blocks live under RENI)"
+                )
             if isinstance(v, dict) and isinstance(self.get(k), Config):
-                self[k].merge_from_dict(v)
+                self[k].merge_from_dict(v, _prefix=dotted + ".")
             else:
                 self[k] = Config._wrap(v)
         return self

@@ -71,3 +71,17 @@ def test_clone_is_deep():
     c2 = cfg.clone()
     c2.RENI.LATENT_DIMENSION = 999
     assert cfg.RENI.LATENT_DIMENSION == 36
+
+
+def test_merge_rejects_unknown_keys():
+    """yacs semantics (reference run.py:136-137): a typo'd or misplaced key
+    raises instead of being silently dropped — e.g. per-task blocks at the
+    top level instead of under RENI."""
+    import pytest
+
+    from reni_tpu.utils.config import get_cfg_defaults
+
+    with pytest.raises(KeyError, match="FIT_DECODER"):
+        get_cfg_defaults().merge_from_dict({"FIT_DECODER": {"EPOCHS": 5}})
+    with pytest.raises(KeyError, match="RENI.LATENT_DIMENSIONS"):
+        get_cfg_defaults().merge_from_dict({"RENI": {"LATENT_DIMENSIONS": 49}})
