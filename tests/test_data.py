@@ -92,6 +92,35 @@ def test_exr_grayscale(tmp_path):
     np.testing.assert_allclose(back[..., 0], img, rtol=1e-6)
 
 
+def test_exr_native_decoder_matches_python(tmp_path):
+    """native/exr_decode.cpp must decode bit-identically to the pure-Python
+    oracle (incl. subnormal halves) across compressions and pixel types."""
+    import pytest
+
+    from reni_tpu.data import exr
+
+    if exr._load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    for comp in ("NONE", "ZIPS", "ZIP"):
+        for ptype in ("half", "float"):
+            img = (rng.normal(size=(33, 47, 3)) * 4).astype(np.float32)
+            # subnormal-half magnitudes and exact zero exercise the
+            # half->float conversion corners
+            img.flat[::17] = rng.normal(size=img.flat[::17].shape) * 1e-6
+            img.flat[0] = 0.0
+            p = str(tmp_path / f"{comp}_{ptype}.exr")
+            exr.write(p, img, pixel_type=ptype, compression=comp)
+            native = exr.read(p)
+            saved = exr._lib, exr._lib_failed
+            try:
+                exr._lib, exr._lib_failed = None, True  # force Python path
+                ref = exr.read(p)
+            finally:
+                exr._lib, exr._lib_failed = saved
+            np.testing.assert_array_equal(native, ref)
+
+
 def test_hdr_dataset_pipeline(tmp_path):
     rng = np.random.default_rng(4)
     for i in range(3):
