@@ -1,0 +1,95 @@
+"""Serving export (reni_tpu/serve.py): jax.export artifact round trips.
+
+The deployment analog of the reference's notebook checkpoint-loading recipe
+(examples.ipynb cell 4), as an ahead-of-time StableHLO artifact."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reni_tpu import serve
+from reni_tpu.core import sphere
+from reni_tpu.models.reni import RENIConfig, RENIModel
+
+
+def _broadcast_dirs(width, B):
+    d = sphere.get_directions(width)
+    return jnp.broadcast_to(d, (B,) + d.shape[1:])
+
+
+def test_export_round_trip_symbolic_shapes(tmp_path):
+    """One artifact serves any (batch, resolution): symbolic B and P."""
+    model = RENIModel(
+        RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=16,
+                   output_activation=None)
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=3)
+    p = str(tmp_path / "dec.jaxexport")
+    serve.save_exported(serve.export_decoder(model, params), p)
+    f = serve.load_exported(p)
+    for width, B in ((16, 3), (32, 2)):
+        D = _broadcast_dirs(width, B)
+        Z = model.latents(params, jnp.arange(B))
+        np.testing.assert_allclose(
+            np.asarray(f(Z, D)), np.asarray(model.apply(params, Z, D)), atol=1e-6
+        )
+
+
+def test_export_film_variant(tmp_path):
+    model = RENIModel(
+        RENIConfig(
+            conditioning="FiLM", latent_dim=4, hidden_layers=2,
+            hidden_features=16, mapping_layers=2, mapping_features=16,
+            output_activation="tanh",
+        )
+    )
+    params = model.init(jax.random.PRNGKey(1), dataset_size=2)
+    p = str(tmp_path / "film.jaxexport")
+    serve.save_exported(serve.export_decoder(model, params), p)
+    f = serve.load_exported(p)
+    D = _broadcast_dirs(16, 2)
+    Z = model.latents(params, jnp.arange(2))
+    np.testing.assert_allclose(
+        np.asarray(f(Z, D)), np.asarray(model.apply(params, Z, D)), atol=1e-6
+    )
+
+
+def test_export_pallas_config_uses_xla_path(tmp_path):
+    """A use_pallas model config must still export (XLA path baked in)."""
+    model = RENIModel(
+        RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=16,
+                   output_activation=None, use_pallas=True, fast_sine=True)
+    )
+    params = model.init(jax.random.PRNGKey(2), dataset_size=2)
+    p = str(tmp_path / "pl.jaxexport")
+    serve.save_exported(serve.export_decoder(model, params), p)
+    f = serve.load_exported(p)
+    D = _broadcast_dirs(16, 2)
+    Z = model.latents(params, jnp.arange(2))
+    xla_model = RENIModel(
+        RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=16,
+                   output_activation=None, use_pallas=False, fast_sine=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f(Z, D)), np.asarray(xla_model.apply(params, Z, D)), atol=1e-6
+    )
+
+
+def test_export_cli_from_checkpoint(tmp_path):
+    from reni_tpu.cli.export import main as export_main
+    from reni_tpu.train import checkpoint as ckpt
+
+    cfg = RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=16,
+                     output_activation=None)
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(3), dataset_size=4)
+    ck = str(tmp_path / "ck")
+    ckpt.save_checkpoint(ck, params, model_config=cfg, metadata={"epoch": 1})
+    out = str(tmp_path / "dec.jaxexport")
+    assert export_main(["--checkpoint", ck, "--out", out]) == 0
+    f = serve.load_exported(out)
+    D = _broadcast_dirs(16, 4)
+    Z = model.latents(params, jnp.arange(4))
+    np.testing.assert_allclose(
+        np.asarray(f(Z, D)), np.asarray(model.apply(params, Z, D)), atol=1e-6
+    )
