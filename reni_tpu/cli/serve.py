@@ -1,0 +1,163 @@
+"""HTTP serving daemon for an exported decoder artifact.
+
+    python -m reni_tpu.cli.serve --artifact decoder.jaxexport --port 8742 \
+        [--checkpoint ckpt]   # latent table for /decode_idx + named widths
+
+Stdlib-only HTTP front-end over ``reni_tpu.serve.load_exported``; the model
+code is baked into the artifact, so the daemon needs only jax + numpy (the
+checkpoint is optional, for serving the fitted latents by dataset index).
+
+Endpoints (JSON in, JSON out; radiance in the model's normalised space):
+
+- ``GET  /healthz``                      -> {"ok": true, ...}
+- ``POST /decode``  {"z": [[...x3]...] | [[[...]]], "width": W,
+                     "format": "list" | "base64"}
+      z: one (N, 3) latent or a batch (B, N, 3). Decodes the full
+      equirectangular grid at W x W/2 -> {"shape": [B, H, W, 3], "data"}.
+- ``POST /decode_idx`` {"idx": [0, 3], "width": W, ...}  (needs --checkpoint)
+
+Directions grids are cached per width; the artifact's symbolic (B, P)
+export means any batch/resolution compiles once per distinct shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class DecoderService:
+    """Artifact + optional latent table; thread-safe decode calls."""
+
+    def __init__(self, artifact_path: str, checkpoint_path: str | None = None):
+        from reni_tpu import serve as _serve
+
+        self.fn = _serve.load_exported(artifact_path)
+        self.artifact_path = artifact_path
+        self.latents = None
+        if checkpoint_path is not None:
+            from reni_tpu.train import checkpoint as ckpt
+
+            params, _ = ckpt.load_checkpoint(checkpoint_path)
+            lat = params["latents"]
+            self.latents = np.asarray(lat.get("mu", lat.get("Z")))
+        self._dirs: dict[int, np.ndarray] = {}
+        self._lock = threading.Lock()
+
+    def directions(self, width: int) -> np.ndarray:
+        with self._lock:
+            d = self._dirs.get(width)
+            if d is None:
+                from reni_tpu.core import sphere
+
+                d = np.asarray(sphere.get_directions(width))
+                self._dirs[width] = d
+            return d
+
+    def decode(self, z: np.ndarray, width: int) -> np.ndarray:
+        """z: (B, N, 3) -> (B, W//2, W, 3) radiance."""
+        d = np.broadcast_to(self.directions(width), (z.shape[0],) + self.directions(width).shape[1:])
+        out = np.asarray(self.fn(z.astype(np.float32), d))
+        return out.reshape(z.shape[0], width // 2, width, out.shape[-1])
+
+    def decode_idx(self, idx, width: int) -> np.ndarray:
+        if self.latents is None:
+            raise ValueError("no latent table: start the daemon with --checkpoint")
+        return self.decode(self.latents[np.asarray(idx, dtype=np.int64)], width)
+
+
+def _encode(out: np.ndarray, fmt: str) -> dict:
+    body = {"shape": list(out.shape)}
+    if fmt == "base64":
+        body["dtype"] = "float32"
+        body["data"] = base64.b64encode(
+            np.ascontiguousarray(out, dtype=np.float32).tobytes()
+        ).decode("ascii")
+    else:
+        body["data"] = out.tolist()
+    return body
+
+
+def make_handler(service: DecoderService):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(
+                    200,
+                    {
+                        "ok": True,
+                        "artifact": service.artifact_path,
+                        "has_latents": service.latents is not None,
+                        "dataset_size": None
+                        if service.latents is None
+                        else int(service.latents.shape[0]),
+                    },
+                )
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                width = int(req.get("width", 128))
+                fmt = req.get("format", "list")
+                if self.path == "/decode":
+                    z = np.asarray(req["z"], dtype=np.float32)
+                    if z.ndim == 2:
+                        z = z[None]
+                    out = service.decode(z, width)
+                elif self.path == "/decode_idx":
+                    out = service.decode_idx(req["idx"], width)
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                self._reply(200, _encode(out, fmt))
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(
+    artifact: str, checkpoint: str | None = None, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Build (not run) the server; ``.server_address`` has the bound port."""
+    service = DecoderService(artifact, checkpoint)
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--artifact", required=True, help="decoder .jaxexport path")
+    parser.add_argument("--checkpoint", default=None, help="checkpoint for /decode_idx")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8742)
+    args = parser.parse_args(argv)
+    httpd = make_server(args.artifact, args.checkpoint, args.host, args.port)
+    print(f"serving {args.artifact} on http://{args.host}:{httpd.server_address[1]}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

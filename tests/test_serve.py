@@ -93,3 +93,68 @@ def test_export_cli_from_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(f(Z, D)), np.asarray(model.apply(params, Z, D)), atol=1e-6
     )
+
+
+def test_http_serving_daemon(tmp_path):
+    """cli/serve.py: health, /decode on raw latents, /decode_idx from a
+    checkpoint's fitted table, base64 payloads, and JSON errors."""
+    import base64
+    import json
+    import threading
+    import urllib.request
+
+    from reni_tpu.cli.serve import make_server
+    from reni_tpu.train import checkpoint as ckpt
+
+    cfg = RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=16,
+                     output_activation=None)
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(5), dataset_size=3)
+    ck = str(tmp_path / "ck")
+    ckpt.save_checkpoint(ck, params, model_config=cfg, metadata={"epoch": 1})
+    art = str(tmp_path / "dec.jaxexport")
+    serve.save_exported(serve.export_decoder(model, params), art)
+
+    httpd = make_server(art, ck, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, json.dumps(payload).encode(),
+                {"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        with urllib.request.urlopen(base + "/healthz") as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["has_latents"] and health["dataset_size"] == 3
+
+        width = 16
+        Z = np.asarray(model.latents(params, jnp.arange(2)))
+        code, body = post("/decode", {"z": Z.tolist(), "width": width,
+                                      "format": "base64"})
+        assert code == 200 and body["shape"] == [2, 8, 16, 3]
+        out = np.frombuffer(base64.b64decode(body["data"]), np.float32).reshape(
+            body["shape"]
+        )
+        D = _broadcast_dirs(width, 2)
+        ref = np.asarray(model.apply(params, jnp.asarray(Z), D)).reshape(out.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+        code, body = post("/decode_idx", {"idx": [0, 2], "width": width})
+        assert code == 200 and body["shape"] == [2, 8, 16, 3]
+        ref_idx = np.asarray(
+            model.apply(params, model.latents(params, jnp.asarray([0, 2])), D)
+        ).reshape(body["shape"])
+        np.testing.assert_allclose(np.asarray(body["data"]), ref_idx, atol=1e-5)
+
+        code, body = post("/decode", {"width": width})  # missing z
+        assert code == 400 and "error" in body
+    finally:
+        httpd.shutdown()
