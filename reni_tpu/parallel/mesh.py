@@ -57,6 +57,22 @@ def model_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get("model", 1)
 
 
+def put_sharded(x, sharding: NamedSharding):
+    """Place ``x`` on the mesh with ``sharding``.
+
+    Single-process: plain ``jax.device_put``. Multi-process (a real
+    jax.distributed job, e.g. a TPU pod or the 2-process CPU cluster in
+    tests/test_multihost.py): every process passes the same full array —
+    DDP semantics, each rank holds the data — and contributes only its
+    addressable shards via ``make_array_from_callback``."""
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(x, sharding)
+
+
 def batch_sharding(mesh: Mesh) -> tuple[NamedSharding, NamedSharding, NamedSharding]:
     """(imgs (B, P, 3), idx (B,), bmask (B,)) shardings for one batch."""
     return (
@@ -80,9 +96,9 @@ def shard_stage_data(mesh: Mesh, imgs_b, idx_b, bmask_b):
     s_imgs = NamedSharding(mesh, P(*spec))
     s_idx = NamedSharding(mesh, P(None, "data"))
     return (
-        jax.device_put(imgs_b, s_imgs),
-        jax.device_put(idx_b, s_idx),
-        jax.device_put(bmask_b, s_idx),
+        put_sharded(imgs_b, s_imgs),
+        put_sharded(idx_b, s_idx),
+        put_sharded(bmask_b, s_idx),
     )
 
 
@@ -284,7 +300,9 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
         pad_sizes = {}
         if shard_latents:
             state, pad_sizes = pad_latent_rows(state, mesh.shape["data"])
-        state = jax.device_put(state, state_sharding(mesh, state, shard_latents))
+        state = jax.tree.map(
+            put_sharded, state, state_sharding(mesh, state, shard_latents)
+        )
 
         # same memoized whole-stage program as the single-device runner —
         # GSPMD partitioning follows the input shardings placed above

@@ -1,0 +1,96 @@
+"""One process of a small jax.distributed CPU cluster — the worker side of
+tests/test_multihost.py.
+
+Runs a data-sharded FIT_DECODER stage over the *global* mesh (devices from
+every process; cross-process gradient psums ride the distributed runtime's
+collectives — the actually-exercised analog of the reference's DDP/NCCL,
+run.py:94-97). Process 0 writes the final params + per-epoch losses for the
+test to compare against a single-process fit.
+
+Usage: python multihost_worker.py <proc_id> <n_proc> <port> <out.npz>
+(with JAX_PLATFORMS=cpu and xla_force_host_platform_device_count set).
+"""
+
+import sys
+
+
+def synthetic_images(n, width, seed):
+    # keep in lockstep with tests/test_multihost.py::_synthetic
+    import numpy as np
+
+    from reni_tpu.core import sphere
+
+    d = np.asarray(sphere.get_directions(width))[0]
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [np.tanh(d @ rng.normal(size=(3, 3))) for _ in range(n)]
+    ).astype(np.float32)
+
+
+def main():
+    proc, nproc, port, out_path = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        sys.argv[3],
+        sys.argv[4],
+    )
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=proc,
+    )
+    import numpy as np
+    import jax.numpy as jnp
+
+    from reni_tpu.models.reni import RENIConfig, RENIModel
+    from reni_tpu.parallel import mesh as pmesh, multihost
+    from reni_tpu.core import sphere
+    from reni_tpu.train import tasks
+    from reni_tpu.train.optim import OptimConfig, build_optimizer
+
+    assert jax.process_count() == nproc, jax.process_count()
+    assert multihost.initialize() is True  # already-distributed: reports True
+    mesh = multihost.global_mesh()
+
+    model = RENIModel(
+        RENIConfig(
+            model_type="VariationalAutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+        )
+    )
+    params0 = model.init(jax.random.PRNGKey(0), dataset_size=6)
+    opt = build_optimizer(
+        OptimConfig(lr_start=1e-3, lr_end=1e-3, epochs=3, steps_per_epoch=1)
+    )
+    step = tasks.make_fit_decoder_step(
+        model,
+        opt,
+        sphere.get_directions(16),
+        sphere.get_sineweight(16),
+        kld_weighting=1e-4,
+    )
+    images = jnp.asarray(synthetic_images(6, 16, seed=31))
+    state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
+    runner = pmesh.sharded_stage_runner(mesh)
+    state, metrics = runner(step, state, images, 3, 8)
+
+    if multihost.is_primary():
+        leaves, _ = jax.tree_util.tree_flatten(jax.device_get(state.params))
+        np.savez(
+            out_path,
+            loss=np.asarray(metrics["loss"]),
+            n_global_devices=jax.device_count(),
+            **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        )
+    # all processes must stay alive until the last collective completes
+    jax.block_until_ready(state.trainable)
+
+
+if __name__ == "__main__":
+    main()
