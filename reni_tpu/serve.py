@@ -15,7 +15,10 @@ jax — and call on any (B, npix) at full XLA speed.
 
 Exports run the XLA trunk (the fused Pallas kernel is a runtime dispatch
 choice, not a portable artifact); on TPU the fast-sine polynomial is baked
-in when the model config enables it.
+in when the model config enables it. Post-warmup the artifact decodes at
+the direct XLA rate (PERF.md "Serving export") — issue one warmup call
+after load: the first execution uploads the baked weight constants
+(seconds through a tunneled chip).
 """
 
 from __future__ import annotations
