@@ -278,3 +278,30 @@ def test_empty_mesh_render_is_black():
         kd=0.5, ks=0.5,
     )
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_bundled_assets_render(tmp_path):
+    """The committed data/ assets (examples/make_assets.py output) must
+    drive the inverse-rendering setup: every OBJ rasterizes to a non-empty
+    silhouette and every mask loads as a binary observed-region map."""
+    import os
+
+    from reni_tpu.core import sphere as sph
+    from reni_tpu.render.inverse import InverseRenderSetup
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("teapot", "sphere", "torus"):
+        setup = InverseRenderSetup(
+            os.path.join(root, "data", "3D_Models", f"{name}.obj"),
+            render_resolution=32,
+            kd=0.5,
+        )
+        covered = np.asarray(setup.fragments.pix_to_face >= 0).mean()
+        assert 0.05 < covered < 0.95, (name, covered)
+    for name in ("Mask-1", "Mask-2", "Mask-3", "Mask-Left", "Mask-Right"):
+        m = np.asarray(
+            sph.get_mask(64, os.path.join(root, "data", "Masks", f"{name}.png"))
+        )
+        assert m.shape == (1, 2048, 3)
+        assert set(np.unique(m)) <= {0.0, 1.0}
+        assert 0.05 < m.mean() < 0.95
