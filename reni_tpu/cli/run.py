@@ -47,11 +47,18 @@ class _BestTracker:
     crash-resume never loses more than EVERY_N_EPOCHS epochs on a
     non-monotonic loss curve."""
 
-    def __init__(self, save_dir: str, task: str, model_config, keep: int = 2):
+    def __init__(self, save_dir: str, task: str, model_config, keep: int = 2,
+                 write: bool = True):
+        """write=False keeps the (deterministic) best-K bookkeeping but
+        performs no file I/O — non-primary processes of a multi-host job
+        track the same paths so task chaining agrees, while only host 0
+        writes (metrics are replicated, so the loss sequence is identical
+        on every process)."""
         self.save_dir = save_dir
         self.task = task
         self.model_config = model_config
         self.keep = keep
+        self.write = write
         self.saved: list[tuple[float, str]] = []
 
     def maybe_save(self, params, epoch: int, loss: float, opt_state=None,
@@ -59,28 +66,30 @@ class _BestTracker:
         path = os.path.join(
             self.save_dir, f"{self.task.lower()}_epoch={epoch:04d}"
         )
-        ckpt.save_checkpoint(
-            path,
-            params,
-            model_config=self.model_config,
-            metadata={"task": self.task, "epoch": epoch, "loss": float(loss)},
-            opt_state=opt_state,
-            rng_key=rng_key,
-        )
-        import shutil
+        if self.write:
+            ckpt.save_checkpoint(
+                path,
+                params,
+                model_config=self.model_config,
+                metadata={"task": self.task, "epoch": epoch, "loss": float(loss)},
+                opt_state=opt_state,
+                rng_key=rng_key,
+            )
+            import shutil
 
-        latest = os.path.join(self.save_dir, f"{self.task.lower()}_latest")
-        shutil.copyfile(path + ".npz", latest + ".npz")
-        shutil.copyfile(path + ".json", latest + ".json")
+            latest = os.path.join(self.save_dir, f"{self.task.lower()}_latest")
+            shutil.copyfile(path + ".npz", latest + ".npz")
+            shutil.copyfile(path + ".json", latest + ".json")
         self.saved.append((float(loss), path))
         self.saved.sort(key=lambda t: t[0])
         while len(self.saved) > self.keep:
             _, worst = self.saved.pop()
-            for ext in (".npz", ".json"):
-                try:
-                    os.remove(worst + ext)
-                except OSError:
-                    pass
+            if self.write:
+                for ext in (".npz", ".json"):
+                    try:
+                        os.remove(worst + ext)
+                    except OSError:
+                        pass
 
     @property
     def best_path(self) -> str | None:
@@ -96,6 +105,7 @@ def run_task(
     mesh=None,
     deadline: float | None = None,
     resume_path: str | None = None,
+    primary: bool = True,
 ):
     model_cfg = RENIConfig.from_reni_cfg(
         config.RENI, task, tpu_cfg=config.get("TPU")
@@ -125,13 +135,13 @@ def run_task(
 
     task_cfg = tasks.TaskConfig.from_config(config, task)
 
-    if bool(config.TRAINER.LOGGER.TB.get("LOG_GRAPH", False)):
+    if primary and bool(config.TRAINER.LOGGER.TB.get("LOG_GRAPH", False)):
         _dump_model_graph(model, params, logger.log_dir, task)
 
     save_dir = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR)
-    tracker = _BestTracker(save_dir, task, model_cfg)
+    tracker = _BestTracker(save_dir, task, model_cfg, write=primary)
     every = int(config.TRAINER.CHKPTS.EVERY_N_EPOCHS)
-    log_images = bool(config.TRAINER.LOGGER.LOG_IMAGES)
+    log_images = primary and bool(config.TRAINER.LOGGER.LOG_IMAGES)
     img_every = int(config.TRAINER.LOGGER.EPOCHS_BETWEEN_EXAMPLES)
     cb_every = min(every, img_every) if log_images else every
 
@@ -255,13 +265,14 @@ def run_task(
 
     final = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR,
                          f"{task.lower()}_final")
-    ckpt.save_checkpoint(
-        final,
-        params,
-        model_config=model_cfg,
-        metadata={"task": task, "epoch": task_cfg.epochs,
-                  "loss": float(metrics[f"{task.lower()}_loss"][-1])},
-    )
+    if primary:
+        ckpt.save_checkpoint(
+            final,
+            params,
+            model_config=model_cfg,
+            metadata={"task": task, "epoch": task_cfg.epochs,
+                      "loss": float(metrics[f"{task.lower()}_loss"][-1])},
+        )
     best = tracker.best_path or final
     return params, metrics, best
 
@@ -324,16 +335,28 @@ def _new_log_dir(config) -> str:
 
 
 def main(config, mesh=None, resume=None, log_dir=None):
+    from reni_tpu.parallel import multihost
+
+    # multi-host: no-op without a coordinator; with one (env or TPU pod),
+    # joins the cluster — run one CLI process per host, same config
+    distributed = multihost.initialize()
+    primary = multihost.is_primary()
     _apply_precision(config)
+    if isinstance(mesh, str):
+        # mesh specs parse only after multihost.initialize: the flag counts
+        # against the GLOBAL device set in a multi-process job
+        mesh = _parse_mesh(mesh)
     if mesh is None:
         mesh = _mesh_from_config(config.TPU)
+    if distributed and mesh is None:
+        mesh = multihost.global_mesh()  # multi-process requires a global mesh
     if log_dir is None:
-        log_dir = _new_log_dir(config)
+        log_dir = multihost.agree_on_path(_new_log_dir(config))
     wandb_cfg = None
     if config.TRAINER.LOGGER_TYPE == "wandb":
         wandb_cfg = dict(config.TRAINER.LOGGER.WANDB)
         wandb_cfg["run_config"] = config.to_dict()
-    logger = MetricLogger(log_dir, wandb_config=wandb_cfg)
+    logger = MetricLogger(log_dir, wandb_config=wandb_cfg, enabled=primary)
 
     tasks_list = list(config.RENI.TASKS)
     load_path = config.TRAINER.CHKPTS.LOAD_PATH
@@ -381,7 +404,11 @@ def main(config, mesh=None, resume=None, log_dir=None):
         params, metrics, best = run_task(
             config, task, dataset, logger, chkpt_path, mesh=mesh,
             deadline=deadline, resume_path=resume if i == 0 else None,
+            primary=primary,
         )
+        # non-primary processes must not read the chained checkpoint
+        # before host 0 finishes writing it
+        multihost.barrier(f"task_end_{i}_{task}")
         results[task] = (params, metrics)
         if task == "FIT_DECODER":
             chkpt_path = best
@@ -484,5 +511,5 @@ if __name__ == "__main__":
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.cfg_path)
     run_with_retries(
-        cfg, mesh=_parse_mesh(args.mesh), resume=args.resume, retries=args.retries
+        cfg, mesh=args.mesh, resume=args.resume, retries=args.retries
     )

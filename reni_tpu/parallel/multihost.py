@@ -30,20 +30,30 @@ def initialize(coordinator_address: str | None = None, **kwargs) -> bool:
     """Initialise jax.distributed when running multi-process.
 
     Returns True if distributed mode is active. Safe to call unconditionally:
-    without a coordinator (env or argument) it is a no-op."""
-    if jax.process_count() > 1:
-        return True
+    without a coordinator (env or argument) it is a no-op.
+
+    NB: the coordinator check runs BEFORE any jax API touch — even
+    ``jax.process_count()`` initializes the backend, after which
+    ``jax.distributed.initialize`` is rejected."""
     coordinator = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     in_tpu_pod = "TPU_WORKER_HOSTNAMES" in os.environ and (
         len(os.environ["TPU_WORKER_HOSTNAMES"].split(",")) > 1
     )
     if coordinator is None and not in_tpu_pod:
-        return False
+        # no coordinator configured: either a plain single-process run, or
+        # jax.distributed was already initialized manually
+        return jax.process_count() > 1
+    # manual clusters (e.g. one CLI process per host pointing at the same
+    # coordinator) can specify the topology via env instead of kwargs
+    if "num_processes" not in kwargs and "JAX_NUM_PROCESSES" in os.environ:
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if "process_id" not in kwargs and "JAX_PROCESS_ID" in os.environ:
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     try:
         jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
     except (RuntimeError, ValueError):
-        return jax.process_count() > 1
-    return True
+        pass  # already initialized (idempotent use)
+    return jax.process_count() > 1
 
 
 def global_mesh(n_pixel: int = 1):
@@ -57,3 +67,29 @@ def global_mesh(n_pixel: int = 1):
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs (host 0)."""
     return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-process sync point (no-op single-process). Used between CLI
+    tasks so non-primary processes do not read a chained checkpoint before
+    host 0 finishes writing it."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def agree_on_path(path: str) -> str:
+    """Adopt process 0's ``version_N``-suffixed run directory everywhere.
+
+    The local next-free-version scan can race: if host 0 already created
+    version_K when another process scans, that process would pick K+1 and
+    the run would split across directories."""
+    if jax.process_count() <= 1 or "version_" not in path:
+        return path
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    base, v = path.rsplit("version_", 1)
+    v = int(multihost_utils.broadcast_one_to_all(np.int32(int(v))))
+    return f"{base}version_{v}"

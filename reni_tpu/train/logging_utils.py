@@ -21,14 +21,23 @@ class MetricLogger:
         log_dir: str,
         use_tensorboard: bool = True,
         wandb_config: dict | None = None,
+        enabled: bool = True,
     ):
         """wandb_config: the reference's TRAINER.LOGGER.WANDB block
-        (run.py:33-41) — used when the wandb package is importable."""
+        (run.py:33-41) — used when the wandb package is importable.
+
+        enabled=False makes every method a no-op and touches no files —
+        the non-primary processes of a multi-host job (the reference logs
+        from rank 0 only; PL does this implicitly)."""
         self.log_dir = log_dir
-        os.makedirs(log_dir, exist_ok=True)
-        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self.enabled = enabled
+        self._jsonl = None
         self._tb = None
         self._wandb = None
+        if not enabled:
+            return
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         if wandb_config is not None:
             try:
                 import wandb
@@ -51,6 +60,8 @@ class MetricLogger:
                 self._tb = None
 
     def log_scalars(self, step: int, scalars: dict) -> None:
+        if not self.enabled:
+            return
         rec = {"step": int(step)}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -63,6 +74,8 @@ class MetricLogger:
 
     def log_image(self, tag: str, image_hwc: np.ndarray, step: int) -> None:
         """image_hwc: (H, W, 3) float in [0, 1]. Saved as PNG + TB image."""
+        if not self.enabled:
+            return
         from PIL import Image
 
         arr = np.clip(np.asarray(image_hwc), 0.0, 1.0)
@@ -78,7 +91,8 @@ class MetricLogger:
             self._wandb.log({tag: wandb.Image(img8)}, step=int(step))
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:

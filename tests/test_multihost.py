@@ -103,3 +103,113 @@ def test_two_process_cluster_matches_single_process(tmp_path):
             got[f"leaf{i}"], np.asarray(ref), atol=3e-5,
             err_msg=f"leaf {i} diverged between 2-process and single-process",
         )
+
+
+def test_cli_two_process_cluster(tmp_path):
+    """The FULL CLI trainer as a 2-process cluster: one `cli.run` per
+    "host" against the same coordinator (JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES/JAX_PROCESS_ID env), 4-device global mesh. Host 0
+    alone writes metrics/checkpoints; the chain (decoder -> chained
+    latent fit) completes on both; losses match a single-process run."""
+    import json
+    import yaml
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for split, n in (("Train", 5), ("Test", 3)):
+        d = tmp_path / "ldr" / split
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = (rng.uniform(size=(16, 32, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(d / f"img{i}.png"))
+
+    from reni_tpu.utils.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    cfg.RENI.TASKS = ["FIT_DECODER", "FIT_LATENT"]
+    cfg.RENI.CONDITIONING = "Cond-by-Concat"
+    cfg.RENI.LATENT_DIMENSION = 4
+    cfg.RENI.HIDDEN_LAYERS = 1
+    cfg.RENI.HIDDEN_FEATURES = 16
+    cfg.RENI.OUTPUT_ACTIVATION = "None"
+    for task in ("FIT_DECODER", "FIT_LATENT"):
+        t = cfg.RENI[task]
+        t.EPOCHS = 8
+        t.BATCH_SIZE = 4
+        t.MULTI_RES_TRAINING = False
+        t.INITAL_RESOLUTION = [8, 16]
+        t.LR_START = 1e-3
+        t.LR_END = 1e-4
+    cfg.DATASET.NAME = "RENI_LDR"
+    cfg.DATASET.RENI_LDR.PATH = str(tmp_path / "ldr")
+    cfg.DATASET.RENI_LDR.TRANSFORMS = [["normalize", [[0.5] * 3, [0.5] * 3]]]
+    cfg.TRAINER.CHKPTS.EVERY_N_EPOCHS = 4
+    cfg.TRAINER.LOGGER.LOG_IMAGES = False
+    cfg.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / "runs_mp")
+    cfg_path = str(tmp_path / "exp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            PALLAS_AXON_POOL_IPS="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            PYTHONPATH=repo,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "reni_tpu.cli.run",
+                 "--cfg_path", cfg_path, "--mesh", "4x1"],
+                env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout)
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, f"CLI process failed:\n{o[-4000:]}"
+
+    runs = tmp_path / "runs_mp"
+    versions = sorted(runs.glob("*/version_*"))
+    assert len(versions) == 1, f"run split across dirs: {versions}"
+    v = versions[0]
+    lines = [json.loads(l) for l in open(v / "metrics.jsonl")]
+    mp_losses = {
+        (r["step"], k): r[k] for r in lines for k in r if k.endswith("_loss")
+    }
+    assert any(k.startswith("fit_latent") for _, k in mp_losses)
+    ck = sorted((v / "checkpoints").glob("*final*"))
+    assert len(ck) == 4  # {fit_decoder, fit_latent}_final .npz/.json
+
+    # single-process run, identical config, 4-device mesh
+    from reni_tpu.cli.run import main
+    from reni_tpu.parallel import mesh as pmesh
+
+    cfg2 = get_cfg_defaults()
+    cfg2.merge_from_file(cfg_path)
+    cfg2.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / "runs_sp")
+    mesh = pmesh.make_mesh(n_data=4, n_pixel=1, devices=jax.devices()[:4])
+    main(cfg2, mesh=mesh)
+    sp = sorted((tmp_path / "runs_sp").glob("*/version_*"))[0]
+    sp_lines = [json.loads(l) for l in open(sp / "metrics.jsonl")]
+    for r in sp_lines:
+        for k, val in r.items():
+            if k.endswith("_loss"):
+                got = mp_losses[(r["step"], k)]
+                np.testing.assert_allclose(got, val, rtol=2e-4, err_msg=k)
