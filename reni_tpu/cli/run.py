@@ -146,6 +146,9 @@ def run_task(
     cb_every = min(every, img_every) if log_images else every
 
     is_hdr = bool(config.DATASET[config.DATASET.NAME].IS_HDR)
+    shard_latents = mesh is not None and bool(
+        config.TPU.get("SHARD_LATENTS", False)
+    )
 
     def callback(state_now, epoch, metrics_chunk, res):
         params_now = state_now.params
@@ -216,6 +219,7 @@ def run_task(
             dataset.unnormalise,
             k_fit,
             mesh=mesh,
+            shard_latents=shard_latents,
             setup=inv_setup,
             callback_every=every,
             callback=inverse_callback,
@@ -256,6 +260,7 @@ def run_task(
             k_fit,
             mask_path=task_cfg.mask_path if task_cfg.apply_mask else None,
             mesh=mesh,
+            shard_latents=shard_latents,
             callback_every=cb_every,
             callback=callback,
             start_epoch=start_epoch,

@@ -96,6 +96,7 @@ def fit_inverse(
     *,
     setup: InverseRenderSetup | None = None,
     mesh=None,
+    shard_latents: bool = False,
     callback_every: int | None = None,
     callback: Callable | None = None,
 ):
@@ -138,6 +139,7 @@ def fit_inverse(
         key,
         step_builder=step_builder,
         mesh=mesh,
+        shard_latents=shard_latents,
         callback_every=callback_every,
         callback=callback,
     )

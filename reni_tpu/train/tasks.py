@@ -408,6 +408,7 @@ def fit_task(
     start_epoch: int = 0,
     initial_opt_state=None,
     reaugment: bool = False,
+    shard_latents: bool = False,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
 
@@ -438,7 +439,9 @@ def fit_task(
         from reni_tpu.parallel.mesh import pad_batch_to, sharded_stage_runner
 
         batch_size = pad_batch_to(batch_size, mesh.shape["data"])
-        stage_runner = sharded_stage_runner(mesh)
+        # shard_latents: embedding-style row-sharded latent tables over the
+        # data axis (huge-dataset memory; see parallel/mesh.py)
+        stage_runner = sharded_stage_runner(mesh, shard_latents=shard_latents)
 
     optim_cfg = task_cfg.optim
     n_images = images_at(tuple(task_cfg.resolution_stages()[0][0])).shape[0]

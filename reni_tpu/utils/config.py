@@ -186,6 +186,10 @@ _DEFAULTS = {
         # tensor-parallelises the decoder trunk (hidden features sharded,
         # Megatron column/row layout — parallel/mesh.py)
         "MESH": {"DATA": 1, "PIXEL": 1, "MODEL": 1},
+        # row-shard the per-image latent tables (and their adam moments)
+        # over the data axis — embedding-style sharding for huge datasets
+        # (parallel/mesh.py); requires a multi-device mesh
+        "SHARD_LATENTS": False,
         "USE_PALLAS": True,  # fused Pallas decoder trunk — the fastest path
         # (auto-falls back to XLA for shapes the kernel does not support,
         # e.g. hidden widths not lane-aligned)

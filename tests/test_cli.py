@@ -321,3 +321,25 @@ def test_auto_resume_plan(tmp_path):
     tasks_list, resume, load = _auto_resume_plan(cfg, log_dir)
     assert tasks_list == ["FIT_LATENT"]
     assert resume is None and load.endswith("fit_decoder_latest")
+
+
+def test_shard_latents_cli_matches_replicated(tmp_path, tiny_dataset):
+    """TPU.SHARD_LATENTS row-shards the latent tables through the CLI; the
+    chain must reproduce the replicated-table run exactly."""
+    from reni_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_pixel=2)
+    losses = {}
+    for shard in (False, True):
+        cfg = _tiny_config(tmp_path, tiny_dataset)
+        cfg.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / f"runs_sl{int(shard)}")
+        cfg.TRAINER.LOGGER.LOG_IMAGES = False
+        cfg.TPU.SHARD_LATENTS = shard
+        results, _ = main(cfg, mesh=mesh)
+        losses[shard] = {
+            t: np.asarray(m[f"{t.lower()}_loss"]) for t, (_, m) in results.items()
+        }
+    for t in losses[False]:
+        np.testing.assert_allclose(
+            losses[False][t], losses[True][t], rtol=1e-5, err_msg=t
+        )
