@@ -141,7 +141,11 @@ def run_task(
     save_dir = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR)
     tracker = _BestTracker(save_dir, task, model_cfg, write=primary)
     every = int(config.TRAINER.CHKPTS.EVERY_N_EPOCHS)
-    log_images = primary and bool(config.TRAINER.LOGGER.LOG_IMAGES)
+    # image logging is single-process only: example_images runs eager host
+    # computations on the params, which cross-process global arrays forbid.
+    # The gate must NOT depend on `primary` — cb_every controls the jit-scan
+    # segmentation, and every process must dispatch identical programs.
+    log_images = jax.process_count() == 1 and bool(config.TRAINER.LOGGER.LOG_IMAGES)
     img_every = int(config.TRAINER.LOGGER.EPOCHS_BETWEEN_EXAMPLES)
     cb_every = min(every, img_every) if log_images else every
 
@@ -455,7 +459,13 @@ def run_with_retries(config, mesh=None, resume=None, retries: int = 0):
     retry loses at most TRAINER.CHKPTS.EVERY_N_EPOCHS epochs."""
     import traceback
 
-    log_dir = _new_log_dir(config)
+    from reni_tpu.parallel import multihost
+
+    # join the cluster BEFORE scanning for a free version_N: the scan races
+    # against host 0 creating the directory, and agree_on_path needs
+    # jax.distributed up (main()'s initialize is idempotent after this)
+    multihost.initialize()
+    log_dir = multihost.agree_on_path(_new_log_dir(config))
     attempt = 0
     while True:
         try:

@@ -61,7 +61,8 @@ class DecoderService:
 
     def decode(self, z: np.ndarray, width: int) -> np.ndarray:
         """z: (B, N, 3) -> (B, W//2, W, 3) radiance."""
-        d = np.broadcast_to(self.directions(width), (z.shape[0],) + self.directions(width).shape[1:])
+        d = self.directions(width)
+        d = np.broadcast_to(d, (z.shape[0],) + d.shape[1:])
         out = np.asarray(self.fn(z.astype(np.float32), d))
         return out.reshape(z.shape[0], width // 2, width, out.shape[-1])
 

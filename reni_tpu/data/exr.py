@@ -30,7 +30,6 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-import subprocess
 import zlib
 
 import numpy as np
@@ -46,25 +45,34 @@ _lib = None
 _lib_failed = False
 
 
+_LOAD_LOCK = None
+
+
 def _load_native():
-    """Compile-on-first-use native chunk decoder (same scheme as
-    render/rasterizer.py); returns None when disabled or unavailable."""
-    global _lib, _lib_failed
+    """Compile-on-first-use native chunk decoder (shared scheme:
+    utils/native_build.py); returns None when disabled or unavailable.
+    Thread-safe: exr.read runs under the datasets layer's 16-thread pool."""
+    global _lib, _lib_failed, _LOAD_LOCK
     if _lib is not None or _lib_failed:
         return _lib
     if os.environ.get("RENI_TPU_EXR_NATIVE", "1") == "0":
         return None
+    import threading
+
+    if _LOAD_LOCK is None:
+        _LOAD_LOCK = threading.Lock()
+    with _LOAD_LOCK:
+        if _lib is not None or _lib_failed:
+            return _lib
+        return _load_native_locked()
+
+
+def _load_native_locked():
+    global _lib, _lib_failed
     try:
-        if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(
-            _SRC_PATH
-        ):
-            os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC_PATH, "-o", _SO_PATH, "-lz"],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(_SO_PATH)
+        from reni_tpu.utils.native_build import load_native
+
+        lib = load_native(_SRC_PATH, _SO_PATH, ("-lz",))
         lib.exr_decode_chunks.argtypes = [
             ctypes.c_char_p,  # data
             ctypes.c_longlong,  # data_size

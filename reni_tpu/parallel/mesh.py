@@ -62,10 +62,14 @@ def put_sharded(x, sharding: NamedSharding):
 
     Single-process: plain ``jax.device_put``. Multi-process (a real
     jax.distributed job, e.g. a TPU pod or the 2-process CPU cluster in
-    tests/test_multihost.py): every process passes the same full array —
-    DDP semantics, each rank holds the data — and contributes only its
-    addressable shards via ``make_array_from_callback``."""
+    tests/test_multihost.py): host data — the same full array on every
+    process, DDP semantics — contributes only its addressable shards via
+    ``make_array_from_callback``; an already-global jax.Array (e.g. the
+    state coming out of a previous stage) reshards SPMD-side instead (its
+    remote shards cannot be read on this host)."""
     if jax.process_count() > 1:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return jax.device_put(x, sharding)
         arr = np.asarray(x)
         return jax.make_array_from_callback(
             arr.shape, sharding, lambda idx: arr[idx]
@@ -260,7 +264,16 @@ def pad_latent_rows(state, multiple: int):
             target = -(-s // multiple) * multiple
             if target != s:
                 sizes[jax.tree_util.keystr(path)] = s
-                pad_rows = jnp.zeros((target - s,) + leaf.shape[1:], leaf.dtype)
+                n_pad = target - s
+                if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                    # cross-process leaf: eager ops are forbidden; run the
+                    # pad as a (consistently-executed) SPMD program
+                    return jax.jit(
+                        lambda l: jnp.concatenate(
+                            [l, jnp.zeros((n_pad,) + l.shape[1:], l.dtype)]
+                        )
+                    )(leaf)
+                pad_rows = jnp.zeros((n_pad,) + leaf.shape[1:], leaf.dtype)
                 return jnp.concatenate([jnp.asarray(leaf), pad_rows])
         return leaf
 
@@ -274,7 +287,11 @@ def unpad_latent_rows(state, sizes: dict[str, int]):
 
     def unpad(path, leaf):
         s = sizes.get(jax.tree_util.keystr(path))
-        return leaf[:s] if s is not None else leaf
+        if s is None:
+            return leaf
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return jax.jit(lambda l: l[:s])(leaf)
+        return leaf[:s]
 
     return jax.tree_util.tree_map_with_path(unpad, state)
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import ctypes
 import dataclasses
 import os
-import subprocess
 
 import numpy as np
 
@@ -43,14 +42,9 @@ def _load_native():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH):
-            os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC_PATH, "-o", _SO_PATH],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(_SO_PATH)
+        from reni_tpu.utils.native_build import load_native
+
+        lib = load_native(_SRC_PATH, _SO_PATH)
         lib.rasterize_mesh.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),

@@ -76,20 +76,33 @@ def main():
         kld_weighting=1e-4,
     )
     images = jnp.asarray(synthetic_images(6, 16, seed=31))
-    state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
-    runner = pmesh.sharded_stage_runner(mesh)
-    state, metrics = runner(step, state, images, 3, 8)
+
+    results = {}
+    for shard_latents in (False, True):
+        # shard_latents=True row-shards the latent tables ACROSS processes:
+        # exercises put_sharded's global-array reshard, the jit'd pad/unpad
+        # (6 rows on a 4-wide data axis), and checkpoint._fetch's allgather
+        state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
+        runner = pmesh.sharded_stage_runner(mesh, shard_latents=shard_latents)
+        state, metrics = runner(step, state, images, 3, 8)
+        from reni_tpu.train.checkpoint import _fetch
+
+        results[shard_latents] = (
+            np.asarray(metrics["loss"]),
+            jax.tree_util.tree_flatten(_fetch(state.params))[0],
+        )
 
     if multihost.is_primary():
-        leaves, _ = jax.tree_util.tree_flatten(jax.device_get(state.params))
+        loss, leaves = results[False]
+        loss_sl, leaves_sl = results[True]
         np.savez(
             out_path,
-            loss=np.asarray(metrics["loss"]),
+            loss=loss,
+            loss_shard_latents=loss_sl,
             n_global_devices=jax.device_count(),
             **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)},
+            **{f"sleaf{i}": np.asarray(l) for i, l in enumerate(leaves_sl)},
         )
-    # all processes must stay alive until the last collective completes
-    jax.block_until_ready(state.trainable)
 
 
 if __name__ == "__main__":

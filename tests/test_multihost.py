@@ -97,12 +97,17 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         got["loss"], np.asarray(metrics["loss"]), rtol=2e-5
     )
+    # the cross-process row-sharded latent-table fit must agree too
+    np.testing.assert_allclose(
+        got["loss_shard_latents"], np.asarray(metrics["loss"]), rtol=2e-5
+    )
     leaves, _ = jax.tree_util.tree_flatten(jax.device_get(state.params))
     for i, ref in enumerate(leaves):
-        np.testing.assert_allclose(
-            got[f"leaf{i}"], np.asarray(ref), atol=3e-5,
-            err_msg=f"leaf {i} diverged between 2-process and single-process",
-        )
+        for tag in ("leaf", "sleaf"):
+            np.testing.assert_allclose(
+                got[f"{tag}{i}"], np.asarray(ref), atol=3e-5,
+                err_msg=f"{tag} {i} diverged between 2-process and single-process",
+            )
 
 
 def test_cli_two_process_cluster(tmp_path):
