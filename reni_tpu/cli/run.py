@@ -343,7 +343,7 @@ def _new_log_dir(config) -> str:
     return os.path.join(save_dir, name, f"version_{version}")
 
 
-def main(config, mesh=None, resume=None, log_dir=None):
+def main(config, mesh=None, resume=None, log_dir=None, profile_dir=None):
     from reni_tpu.parallel import multihost
 
     # multi-host: no-op without a coordinator; with one (env or TPU pod),
@@ -397,6 +397,18 @@ def main(config, mesh=None, resume=None, log_dir=None):
     if max_hours > 0:
         deadline = time.time() + max_hours * 3600.0
 
+    # --profile: capture a jax.profiler device trace of the whole chain
+    # (point it at a short run; view in TensorBoard's profile plugin or
+    # Perfetto). SURVEY §5: the reference ships torch-tb-profiler but never
+    # invokes it — here tracing is a first-class CLI switch.
+    import contextlib
+
+    from reni_tpu.utils import profiling
+
+    trace_stack = contextlib.ExitStack()
+    if profile_dir:
+        trace_stack.enter_context(profiling.trace(profile_dir))
+
     chkpt_path = load_path
     results = {}
     for i, task in enumerate(tasks_list):
@@ -422,6 +434,7 @@ def main(config, mesh=None, resume=None, log_dir=None):
         if task == "FIT_DECODER":
             chkpt_path = best
 
+    trace_stack.close()
     logger.close()
     return results, log_dir
 
@@ -452,7 +465,7 @@ def _auto_resume_plan(config, log_dir: str):
     return tasks_list[i:], latest, None
 
 
-def run_with_retries(config, mesh=None, resume=None, retries: int = 0):
+def run_with_retries(config, mesh=None, resume=None, retries: int = 0, profile_dir=None):
     """Drive ``main`` with crash-retries: on an unexpected exception, resume
     from the newest checkpoint in the same run directory (the tunneled-TPU
     worker crashes sporadically under sustained load; see CLAUDE.md). A
@@ -469,7 +482,8 @@ def run_with_retries(config, mesh=None, resume=None, retries: int = 0):
     attempt = 0
     while True:
         try:
-            return main(config, mesh=mesh, resume=resume, log_dir=log_dir)
+            return main(config, mesh=mesh, resume=resume, log_dir=log_dir,
+                        profile_dir=profile_dir)
         except KeyboardInterrupt:
             raise
         except Exception:
@@ -508,6 +522,11 @@ if __name__ == "__main__":
         "--mesh", type=str, default=None, help="device mesh as DATAxPIXEL[xMODEL], e.g. 4x2 or 2x2x2"
     )
     parser.add_argument(
+        "--profile", type=str, default=None,
+        help="capture a jax.profiler device trace of the run into this dir "
+             "(TensorBoard profile plugin / Perfetto); point it at a short run",
+    )
+    parser.add_argument(
         "--resume",
         type=str,
         default=None,
@@ -526,5 +545,6 @@ if __name__ == "__main__":
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.cfg_path)
     run_with_retries(
-        cfg, mesh=args.mesh, resume=args.resume, retries=args.retries
+        cfg, mesh=args.mesh, resume=args.resume, retries=args.retries,
+        profile_dir=args.profile
     )

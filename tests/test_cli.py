@@ -343,3 +343,16 @@ def test_shard_latents_cli_matches_replicated(tmp_path, tiny_dataset):
         np.testing.assert_allclose(
             losses[False][t], losses[True][t], rtol=1e-5, err_msg=t
         )
+
+
+def test_profile_flag_writes_trace(tmp_path, tiny_dataset):
+    """--profile captures a jax.profiler trace of the chain."""
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    cfg.RENI.TASKS = ["FIT_DECODER"]
+    cfg.RENI.FIT_DECODER.EPOCHS = 2
+    cfg.RENI.FIT_DECODER.MULTI_RES_TRAINING = False
+    cfg.TRAINER.LOGGER.LOG_IMAGES = False
+    prof = tmp_path / "trace"
+    main(cfg, profile_dir=str(prof))
+    traces = list(prof.rglob("*.trace.json.gz")) + list(prof.rglob("*.xplane.pb"))
+    assert traces, f"no trace artifacts under {prof}"
