@@ -156,37 +156,51 @@ def test_cli_two_process_cluster(tmp_path):
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg.to_dict(), f)
 
-    port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.update(
-            PALLAS_AXON_POOL_IPS="",
-            JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
-            PYTHONPATH=repo,
-            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(pid),
-        )
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-m", "reni_tpu.cli.run",
-                 "--cfg_path", cfg_path, "--mesh", "4x1"],
-                env=env, cwd=repo,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+
+    def launch():
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update(
+                PALLAS_AXON_POOL_IPS="",
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                PYTHONPATH=repo,
+                JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                JAX_NUM_PROCESSES="2",
+                JAX_PROCESS_ID=str(pid),
             )
-        )
-    outputs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outputs.append(stdout)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-m", "reni_tpu.cli.run",
+                     "--cfg_path", cfg_path, "--mesh", "4x1"],
+                    env=env, cwd=repo,
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                )
+            )
+        outputs = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outputs.append(stdout)
+        return procs, outputs
+
+    # one retry with a fresh port: coordinator bring-up over localhost
+    # can flake under heavy load (the distributed runtime's RPC timeouts);
+    # a genuine code failure reproduces on both attempts and is surfaced
+    procs, outputs = launch()
+    if any(p.returncode != 0 for p in procs):
+        print("first cluster attempt failed, retrying:\n", outputs[-1][-2000:])
+        import shutil
+
+        shutil.rmtree(tmp_path / "runs_mp", ignore_errors=True)
+        procs, outputs = launch()
     for p, o in zip(procs, outputs):
         assert p.returncode == 0, f"CLI process failed:\n{o[-4000:]}"
 
