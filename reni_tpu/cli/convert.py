@@ -57,8 +57,28 @@ def main(argv=None) -> int:
             k: torch.from_numpy(v.copy())
             for k, v in convert.params_to_torch_state_dict(params, cfg).items()
         }
+        # embed the config in the reference's hyper_parameters layout so
+        # RENI.load_from_checkpoint / our --from_torch can rebuild the model
+        ref_cfg = {
+            "RENI": {
+                "MODEL_TYPE": cfg.model_type,
+                "CONDITIONING": cfg.conditioning,
+                "EQUIVARIANCE": cfg.equivariance,
+                "LATENT_DIMENSION": cfg.latent_dim,
+                "HIDDEN_LAYERS": cfg.hidden_layers,
+                "HIDDEN_FEATURES": cfg.hidden_features,
+                "OUT_FEATURES": cfg.out_features,
+                "LAST_LAYER_LINEAR": cfg.last_layer_linear,
+                "OUTPUT_ACTIVATION": cfg.output_activation,
+                "FIRST_OMEGA_0": cfg.first_omega_0,
+                "HIDDEN_OMEGA_0": cfg.hidden_omega_0,
+                "MAPPING_LAYERS": cfg.mapping_layers,
+                "MAPPING_FEATURES": cfg.mapping_features,
+            }
+        }
         torch.save(
-            {"state_dict": state_dict, "hyper_parameters": {}}, args.out
+            {"state_dict": state_dict, "hyper_parameters": {"config": ref_cfg}},
+            args.out,
         )
         print(f"exported Lightning-layout state_dict -> {args.out}")
     return 0

@@ -66,6 +66,13 @@ class _BestTracker:
         path = os.path.join(
             self.save_dir, f"{self.task.lower()}_epoch={epoch:04d}"
         )
+        # the fetch is SYMMETRIC: with cross-process-sharded state
+        # (TPU.SHARD_LATENTS / model-axis TP on a pod) it is an allgather
+        # collective every process must join; only the file write below is
+        # host-0-only
+        params = ckpt.fetch_tree(params)
+        if opt_state is not None:
+            opt_state = ckpt.fetch_tree(opt_state)
         if self.write:
             ckpt.save_checkpoint(
                 path,
@@ -274,6 +281,7 @@ def run_task(
 
     final = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR,
                          f"{task.lower()}_final")
+    params = ckpt.fetch_tree(params)  # symmetric (collective when sharded)
     if primary:
         ckpt.save_checkpoint(
             final,
@@ -411,30 +419,36 @@ def main(config, mesh=None, resume=None, log_dir=None, profile_dir=None):
 
     chkpt_path = load_path
     results = {}
-    for i, task in enumerate(tasks_list):
-        if deadline is not None and time.time() > deadline:
-            break
-        dataset_name = config.DATASET.NAME
-        dcfg = config.DATASET[dataset_name]
-        split = "Train" if task == "FIT_DECODER" else "Test"
-        split_path = os.path.join(dcfg.PATH, split)
-        if not os.path.isdir(split_path):
-            split_path = dcfg.PATH  # flat dataset layout
-        dataset = get_dataset(dataset_name, split_path, dcfg.TRANSFORMS, dcfg.IS_HDR)
+    try:
+        for i, task in enumerate(tasks_list):
+            if deadline is not None and time.time() > deadline:
+                break
+            dataset_name = config.DATASET.NAME
+            dcfg = config.DATASET[dataset_name]
+            split = "Train" if task == "FIT_DECODER" else "Test"
+            split_path = os.path.join(dcfg.PATH, split)
+            if not os.path.isdir(split_path):
+                split_path = dcfg.PATH  # flat dataset layout
+            dataset = get_dataset(
+                dataset_name, split_path, dcfg.TRANSFORMS, dcfg.IS_HDR
+            )
 
-        params, metrics, best = run_task(
-            config, task, dataset, logger, chkpt_path, mesh=mesh,
-            deadline=deadline, resume_path=resume if i == 0 else None,
-            primary=primary,
-        )
-        # non-primary processes must not read the chained checkpoint
-        # before host 0 finishes writing it
-        multihost.barrier(f"task_end_{i}_{task}")
-        results[task] = (params, metrics)
-        if task == "FIT_DECODER":
-            chkpt_path = best
-
-    trace_stack.close()
+            params, metrics, best = run_task(
+                config, task, dataset, logger, chkpt_path, mesh=mesh,
+                deadline=deadline, resume_path=resume if i == 0 else None,
+                primary=primary,
+            )
+            # non-primary processes must not read the chained checkpoint
+            # before host 0 finishes writing it
+            multihost.barrier(f"task_end_{i}_{task}")
+            results[task] = (params, metrics)
+            if task == "FIT_DECODER":
+                chkpt_path = best
+    finally:
+        # must run on the exception path too: a dangling jax.profiler
+        # session would make every --retries attempt die on start_trace
+        # and lose the crashed run's trace
+        trace_stack.close()
     logger.close()
     return results, log_dir
 
@@ -491,7 +505,17 @@ def run_with_retries(config, mesh=None, resume=None, retries: int = 0, profile_d
                 raise
             attempt += 1
             traceback.print_exc()
-            tasks_list, resume, load_path = _auto_resume_plan(config, log_dir)
+            plan = _auto_resume_plan(config, log_dir)
+            if jax.process_count() > 1:
+                # adopt host 0's plan: other hosts may not see its
+                # checkpoint files and would otherwise restart from scratch,
+                # dispatching divergent SPMD programs
+                import json as _json
+
+                plan = tuple(
+                    _json.loads(multihost.agree_on_str(_json.dumps(list(plan))))
+                )
+            tasks_list, resume, load_path = plan
             if not tasks_list:
                 raise  # everything already completed; surface the error
             config = config.clone()

@@ -30,6 +30,7 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
+import threading
 import zlib
 
 import numpy as np
@@ -45,22 +46,18 @@ _lib = None
 _lib_failed = False
 
 
-_LOAD_LOCK = None
+_LOAD_LOCK = threading.Lock()
 
 
 def _load_native():
     """Compile-on-first-use native chunk decoder (shared scheme:
     utils/native_build.py); returns None when disabled or unavailable.
     Thread-safe: exr.read runs under the datasets layer's 16-thread pool."""
-    global _lib, _lib_failed, _LOAD_LOCK
+    global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
     if os.environ.get("RENI_TPU_EXR_NATIVE", "1") == "0":
         return None
-    import threading
-
-    if _LOAD_LOCK is None:
-        _LOAD_LOCK = threading.Lock()
     with _LOAD_LOCK:
         if _lib is not None or _lib_failed:
             return _lib

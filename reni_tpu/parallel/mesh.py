@@ -69,7 +69,10 @@ def put_sharded(x, sharding: NamedSharding):
     remote shards cannot be read on this host)."""
     if jax.process_count() > 1:
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            return jax.device_put(x, sharding)
+            # SPMD reshard; jit-identity rather than device_put — the input
+            # may carry a compiler-chosen sharding (out of a jitted pad/
+            # unpad), which device_put's reshard path rejects
+            return jax.jit(lambda a: a, out_shardings=sharding)(x)
         arr = np.asarray(x)
         return jax.make_array_from_callback(
             arr.shape, sharding, lambda idx: arr[idx]

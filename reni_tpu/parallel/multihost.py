@@ -79,6 +79,26 @@ def barrier(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
+def agree_on_str(value: str, max_len: int = 4096) -> str:
+    """All processes adopt process 0's string (e.g. a crash-retry resume
+    plan — non-primary hosts cannot see host 0's checkpoint files on a
+    pod, so they must not compute their own)."""
+    if jax.process_count() <= 1:
+        return value
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    data = value.encode()
+    if len(data) > max_len:
+        raise ValueError(f"agree_on_str payload exceeds {max_len} bytes")
+    buf = np.zeros(max_len + 8, np.uint8)
+    buf[:8] = np.frombuffer(np.int64(len(data)).tobytes(), np.uint8)
+    buf[8 : 8 + len(data)] = np.frombuffer(data, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int(np.frombuffer(out[:8].tobytes(), np.int64)[0])
+    return out[8 : 8 + n].tobytes().decode()
+
+
 def agree_on_path(path: str) -> str:
     """Adopt process 0's ``version_N``-suffixed run directory everywhere.
 

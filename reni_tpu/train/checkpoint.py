@@ -66,11 +66,15 @@ def _unflatten(flat: dict[str, np.ndarray]):
     return listify(root)
 
 
-def _fetch(tree):
+def fetch_tree(tree):
     """Batched device->host fetch that also handles cross-process-sharded
     leaves (row-sharded latent tables / tensor-parallel decoder weights in
     a multi-host job): those must be allgathered, plain device_get raises
-    on non-fully-addressable arrays."""
+    on non-fully-addressable arrays.
+
+    NB the allgather is a COLLECTIVE — in a multi-host job every process
+    must call this at the same point (the trainer fetches symmetrically and
+    gates only the file write to host 0); a lone caller hangs."""
     leaves = jax.tree_util.tree_leaves(tree)
     if jax.process_count() > 1 and any(
         isinstance(l, jax.Array) and not l.is_fully_addressable for l in leaves
@@ -99,9 +103,9 @@ def save_checkpoint(
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     # one batched device->host fetch per tree (per-leaf np.asarray would be
     # one transfer round trip per leaf — ~2 s per save on a tunneled chip)
-    flat = _flatten(_fetch(params))
+    flat = _flatten(fetch_tree(params))
     if opt_state is not None:
-        flat.update(_flatten(_fetch(opt_state), f"__opt__{_SEP}"))
+        flat.update(_flatten(fetch_tree(opt_state), f"__opt__{_SEP}"))
     if rng_key is not None:
         if jax.dtypes.issubdtype(rng_key.dtype, jax.dtypes.prng_key):
             rng_key = jax.random.key_data(rng_key)

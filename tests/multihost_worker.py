@@ -85,7 +85,7 @@ def main():
         state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
         runner = pmesh.sharded_stage_runner(mesh, shard_latents=shard_latents)
         state, metrics = runner(step, state, images, 3, 8)
-        from reni_tpu.train.checkpoint import _fetch
+        from reni_tpu.train.checkpoint import fetch_tree as _fetch
 
         results[shard_latents] = (
             np.asarray(metrics["loss"]),

@@ -336,18 +336,15 @@ def test_convert_cli_round_trip(tmp_path):
 
     pt = str(tmp_path / "ref.ckpt")
     assert convert_main(["--to_torch", ours, "--out", pt]) == 0
-    back = str(tmp_path / "back")
-    # the minimal exported ckpt has no embedded yacs config; import with an
-    # explicit task-free config by seeding hyper_parameters via from_torch +
-    # reusing the original config through --task-free explicit path
     import torch
 
     blob = torch.load(pt, weights_only=False)
     assert any(k.startswith("model.net.") for k in blob["state_dict"])
-
-    from reni_tpu.utils import convert as cv
-
-    params2 = cv.torch_state_dict_to_params(blob["state_dict"], cfg)
+    # the exported ckpt embeds a reference-layout config, so the import
+    # side needs nothing else — the genuine zoo-migration path
+    back = str(tmp_path / "back")
+    assert convert_main(["--from_torch", pt, "--out", back]) == 0
+    params2, _ = ckpt.load_checkpoint(back)
     D = sphere.get_directions(16)
     Z = model.latents(params, jnp.arange(3))
     np.testing.assert_allclose(

@@ -142,10 +142,18 @@ def test_cli_two_process_cluster(tmp_path):
         t = cfg.RENI[task]
         t.EPOCHS = 8
         t.BATCH_SIZE = 4
-        t.MULTI_RES_TRAINING = False
+        # multi-res ON: the stage handoff re-shards state that already
+        # carries compiler-chosen shardings (put_sharded's jit-reshard path)
+        t.MULTI_RES_TRAINING = True
         t.INITAL_RESOLUTION = [8, 16]
+        t.FINAL_RESOLUTION = [16, 32]
+        t.CURRICULUM = [4]
         t.LR_START = 1e-3
         t.LR_END = 1e-4
+    # row-shard the latent tables ACROSS the two processes: periodic saves
+    # then exercise the symmetric allgather in _BestTracker.maybe_save
+    # (5 train rows on a 4-wide data axis also forces the jit'd pad/unpad)
+    cfg.TPU.SHARD_LATENTS = True
     cfg.DATASET.NAME = "RENI_LDR"
     cfg.DATASET.RENI_LDR.PATH = str(tmp_path / "ldr")
     cfg.DATASET.RENI_LDR.TRANSFORMS = [["normalize", [[0.5] * 3, [0.5] * 3]]]
