@@ -179,7 +179,9 @@ def read(path: str) -> np.ndarray:
     if compression not in (0, 2, 3):
         raise ExrError(
             f"{path}: compression {_COMPRESSION_NAMES.get(compression, compression)} "
-            "not supported (NONE/ZIPS/ZIP only)"
+            "not supported (NONE/ZIPS/ZIP only) — transcode once with any "
+            "OpenEXR tool, e.g. `oiiotool in.exr --compression zip -o out.exr` "
+            "or `exrcopy -z zip`"
         )
     xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = xmax - xmin + 1, ymax - ymin + 1
