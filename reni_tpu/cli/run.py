@@ -539,7 +539,8 @@ def _parse_mesh(spec: str | None):
     return make_mesh(n_data=nd, n_pixel=np_, n_model=nm)
 
 
-if __name__ == "__main__":
+def cli(argv=None) -> int:
+    """Console entry point (`reni-tpu` / `python -m reni_tpu.cli.run`)."""
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg_path", type=str, default="configs/experiment.yaml")
     parser.add_argument(
@@ -565,10 +566,15 @@ if __name__ == "__main__":
         help="crash-retries: on failure, resume from the run's newest "
         "checkpoint (at most EVERY_N_EPOCHS epochs are repeated)",
     )
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.cfg_path)
     run_with_retries(
         cfg, mesh=args.mesh, resume=args.resume, retries=args.retries,
         profile_dir=args.profile
     )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(cli())
