@@ -93,17 +93,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_stage_data(mesh: Mesh, imgs_b, idx_b, bmask_b):
-    """Place stacked per-stage batches on the mesh: batch on 'data', the
-    axis after it on 'pixel' when divisible (the H*W direction axis for env
-    maps (nb, B, P, 3); render targets (nb, B, H, W, 3) shard H)."""
-    spec = [None, "data"] + [None] * (imgs_b.ndim - 2)
-    if imgs_b.ndim >= 3 and imgs_b.shape[2] % mesh.shape["pixel"] == 0:
-        spec[2] = "pixel"
+def shard_stage_data(mesh: Mesh, images, idx_b, bmask_b):
+    """Place the stage's data on the mesh: the image/target source array
+    (S, P, 3) (or render targets (S, H, W, 3)) shards its pixel/row axis on
+    'pixel' when divisible and replicates over 'data' — batches are
+    gathered inside the compiled scan by index, and GSPMD shards the
+    gathered batch rows over 'data' from the index sharding."""
+    spec = [None] * images.ndim
+    if images.ndim >= 2 and images.shape[1] % mesh.shape["pixel"] == 0:
+        spec[1] = "pixel"
     s_imgs = NamedSharding(mesh, P(*spec))
     s_idx = NamedSharding(mesh, P(None, "data"))
     return (
-        put_sharded(imgs_b, s_imgs),
+        put_sharded(images, s_imgs),
         put_sharded(idx_b, s_idx),
         put_sharded(bmask_b, s_idx),
     )
@@ -313,9 +315,8 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
         # zero-masked, which the tasks layer treats exactly
         batch_size = pad_batch_to(batch_size, mesh.shape["data"])
         idx, bmask = _tasks.make_batches(dataset_size, batch_size)
-        imgs_b = jnp.asarray(images)[jnp.asarray(idx)]
-        imgs_b, idx_b, bmask_b = shard_stage_data(
-            mesh, imgs_b, jnp.asarray(idx), jnp.asarray(bmask)
+        imgs_s, idx_b, bmask_b = shard_stage_data(
+            mesh, jnp.asarray(images), jnp.asarray(idx), jnp.asarray(bmask)
         )
         pad_sizes = {}
         if shard_latents:
@@ -335,7 +336,7 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
         done = 0
         while done < n_epochs:
             seg = min(epochs_per_program, n_epochs - done)
-            state, metrics = run(state, imgs_b, idx_b, bmask_b, seg)
+            state, metrics = run(state, imgs_s, idx_b, bmask_b, seg)
             chunks.append(metrics)
             done += seg
         state = unpad_latent_rows(state, pad_sizes)

@@ -340,14 +340,24 @@ def _scan_runner(step_fn: Callable):
     closure per call meant a full recompile per segment (~20 s per segment
     for the Pallas backward through a tunneled chip; the wall-clock was
     dominated by compiles, not steps). One compile per (step_fn, shapes,
-    length) is the intended cost: one per resolution stage."""
+    length) is the intended cost: one per resolution stage.
+
+    Batches are gathered INSIDE the scan (``images[idx]``) rather than
+    staged as a pre-gathered (nb, B, P, 3) stack: XLA lays that rank-4
+    stack out with (8, 128) tiling over the trailing (P, 3) dims, padding
+    the channel axis 3 -> 128 — a 42x HBM blowup that turned 375 MB of
+    images into 15.6 GB and OOM'd a 4,000-map dataset on a 16 GB chip.
+    The (S, P, 3) source array gets a sane layout, and the per-batch
+    gather is free next to the decoder FLOPs."""
 
     @functools.partial(jax.jit, static_argnames=("length",))
-    def run(state, imgs_b, idx_b, bmask_b, length):
+    def run(state, images, idx_b, bmask_b, length):
         def epoch_body(state, _):
-            state, ms = jax.lax.scan(
-                lambda s, b: step_fn(s, b), state, (imgs_b, idx_b, bmask_b)
-            )
+            def batch_body(s, b):
+                idx, bmask = b
+                return step_fn(s, (images[idx], idx, bmask))
+
+            state, ms = jax.lax.scan(batch_body, state, (idx_b, bmask_b))
             return state, jax.tree.map(lambda x: x.mean(), ms)
 
         return jax.lax.scan(epoch_body, state, None, length=length)
@@ -370,7 +380,7 @@ def run_stage(
     epoch values being the mean over batches (RENI_module.py:148-163)."""
     dataset_size = images.shape[0]
     idx, bmask = make_batches(dataset_size, batch_size)
-    imgs_b = images[jnp.asarray(idx)]  # (nb, B, P, 3)
+    images = jnp.asarray(images)
     idx_b = jnp.asarray(idx)
     bmask_b = jnp.asarray(bmask)
     nb = idx_b.shape[0]
@@ -383,7 +393,7 @@ def run_stage(
     done = 0
     while done < n_epochs:
         seg = min(epochs_per_program, n_epochs - done)
-        state, metrics = run(state, imgs_b, idx_b, bmask_b, seg)
+        state, metrics = run(state, images, idx_b, bmask_b, seg)
         chunks.append(metrics)
         done += seg
     if len(chunks) == 1:
