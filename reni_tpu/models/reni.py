@@ -43,6 +43,34 @@ from reni_tpu.models import film, siren
 
 Params = dict[str, Any]
 
+_noted_paths: set[str] = set()
+
+
+def _note_trunk_path(msg: str) -> None:
+    """Print (once per distinct message) which trunk path the dispatch
+    compiled and why — a declined fast path used to be a silent ~0.6x perf
+    cliff (round-2 verdict, weak #5). Runs at trace time, so one line per
+    compiled stage/shape, not per step."""
+    if msg not in _noted_paths:
+        _noted_paths.add(msg)
+        import sys
+
+        # stderr: bench.py's stdout contract is a single JSON line
+        print(f"[reni_tpu] {msg}", file=sys.stderr, flush=True)
+
+
+def _mesh_suffix() -> str:
+    from reni_tpu.parallel.mesh import active_kernel_mesh
+
+    mesh = active_kernel_mesh()
+    if mesh is None:
+        return ""
+    n_dt = mesh.shape.get("data", 1)
+    n_px = mesh.shape.get("pixel", 1)
+    if n_dt * n_px > 1:
+        return f" (shard_map over data={n_dt} x pixel={n_px})"
+    return ""
+
 
 @dataclasses.dataclass(frozen=True)
 class RENIConfig:
@@ -231,9 +259,27 @@ class RENIModel:
         cfg = self.config
         use_pallas = cfg.use_pallas and D.shape[0] in (1, Z.shape[0])
         if use_pallas:
-            from reni_tpu.kernels.siren_pallas import kernel_supported
+            from reni_tpu.kernels.siren_pallas import unsupported_reason
 
-            use_pallas = kernel_supported(D.shape[1], cfg.hidden_features)
+            reason = unsupported_reason(
+                D.shape[1], cfg.hidden_features, batch=Z.shape[0]
+            )
+            if reason is not None:
+                _note_trunk_path(
+                    f"XLA trunk (fused kernel declined: {reason}) for "
+                    f"B={Z.shape[0]}, npix={D.shape[1]}"
+                )
+                use_pallas = False
+            else:
+                _note_trunk_path(
+                    f"fused Pallas trunk{_mesh_suffix()} for "
+                    f"B={Z.shape[0]}, npix={D.shape[1]}"
+                )
+        elif cfg.use_pallas:
+            _note_trunk_path(
+                f"XLA trunk (fused kernel declined: direction grid batch "
+                f"{D.shape[0]} matches neither 1 nor Z batch {Z.shape[0]})"
+            )
         if use_pallas:
             # fused Pallas trunk; the direction grid may be shared (1, P, 3)
             # or per-image (B, P, 3)

@@ -21,14 +21,23 @@ expert parallelism to mirror (SURVEY §2c). The TPU-native equivalent is a
   axis exists for decoders too wide for one chip (the SO2 first-layer width
   grows as N^2, and the activation working set grows with batch x npix x
   hidden). The fused Pallas trunk assumes chip-resident weights, so TP
-  training runs the XLA path (the CLI drops USE_PALLAS when MODEL > 1).
+  training runs the XLA path (the dispatch in models/reni.py declines the
+  kernel, with a printed reason, when the mesh carries a model axis > 1).
 
 Everything goes through ``jax.jit`` with NamedShardings (GSPMD); no manual
-collectives are needed for the training path.
+collectives are needed for the XLA training path. The fused Pallas trunk is
+the one opaque custom call GSPMD cannot partition — for it, the stage
+runners enter ``kernel_mesh`` so the dispatch layer wraps the kernel in a
+``shard_map`` over the data/pixel axes (kernels/siren_pallas.py): each
+device runs the kernel on its local batch/pixel shard, and the backward
+psums the weight gradients — the same collective GSPMD inserts for the XLA
+path, so the shipped default (TPU.USE_PALLAS) keeps full per-chip
+throughput under data parallelism instead of all-gathering the batch.
 """
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any
 
 import jax
@@ -55,6 +64,33 @@ def make_mesh(
 
 def model_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get("model", 1)
+
+
+# ---------------------------------------------------------------------------
+# kernel-mesh context: makes the active mesh visible to the Pallas dispatch
+# ---------------------------------------------------------------------------
+
+_KERNEL_MESH: list[Mesh | None] = []
+
+
+@contextlib.contextmanager
+def kernel_mesh(mesh: Mesh | None):
+    """Make ``mesh`` visible to the fused-kernel dispatch layer for the
+    duration of the block (trace time is what matters: programs traced
+    inside see it and embed a ``shard_map``-wrapped kernel partitioned over
+    the data/pixel axes instead of an opaque ``pallas_call`` GSPMD would
+    have to all-gather around). The stage runners below enter this context
+    around every compiled-program call; entering with ``None`` is a no-op
+    shadowing any outer mesh."""
+    _KERNEL_MESH.append(mesh)
+    try:
+        yield
+    finally:
+        _KERNEL_MESH.pop()
+
+
+def active_kernel_mesh() -> Mesh | None:
+    return _KERNEL_MESH[-1] if _KERNEL_MESH else None
 
 
 def put_sharded(x, sharding: NamedSharding):
@@ -336,7 +372,10 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
         done = 0
         while done < n_epochs:
             seg = min(epochs_per_program, n_epochs - done)
-            state, metrics = run(state, imgs_s, idx_b, bmask_b, seg)
+            # kernel_mesh: programs traced here dispatch the fused Pallas
+            # trunk through a shard_map partitioned over data/pixel
+            with kernel_mesh(mesh):
+                state, metrics = run(state, imgs_s, idx_b, bmask_b, seg)
             chunks.append(metrics)
             done += seg
         state = unpad_latent_rows(state, pad_sizes)
@@ -373,7 +412,8 @@ def decode_sharded(model, params, Z, directions, mesh: Mesh | None = None):
     def run(params, Z, d):
         return model.apply(params, Z, d)
 
-    return run(params, Z, d_sharded)
+    with kernel_mesh(flat):
+        return run(params, Z, d_sharded)
 
 
 Params = dict[str, Any]

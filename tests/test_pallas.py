@@ -106,6 +106,40 @@ def test_fused_bf16_trunk_close():
     assert np.abs(out - ref).mean() < 0.01
 
 
+def test_fused_film_single_trunk_layer():
+    """hidden_layers=1 makes the FiLM ws stack zero-length; the kernel must
+    pad the dummy operand instead of handing pallas a zero-extent block
+    (regression: the CLI graph dump crashed with ZeroDivisionError on the
+    default FiLM config with 1 trunk layer)."""
+    model, params, Z, D = _setup_film(L=1)
+    ref = np.asarray(model.apply(params, Z, D))
+    out = np.asarray(_pallas_film(model, params, Z, D))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss_p(dec, z):
+        return jnp.sum(
+            _pallas_film(
+                model, {"decoder": dec, "latents": params["latents"]}, z, D
+            )
+            ** 2
+        )
+
+    def loss_r(dec, z):
+        return jnp.sum(
+            model.apply({"decoder": dec, "latents": params["latents"]}, z, D) ** 2
+        )
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(params["decoder"], Z)
+    gr = jax.grad(loss_r, argnums=(0, 1))(params["decoder"], Z)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=2e-5
+        ),
+        gp,
+        gr,
+    )
+
+
 def _setup_film(equiv="SO2", N=9, L=3, H=128, act="tanh"):
     cfg = RENIConfig(
         model_type="AutoDecoder",
