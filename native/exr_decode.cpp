@@ -1,13 +1,19 @@
 // Native scanline-EXR chunk decoder for reni_tpu.data.exr.
 //
 // The Python module parses the (tiny) header and hands the chunk region to
-// this library, which does the hot work: zlib inflate, the EXR ZIP
-// pre-filter inversion (delta-decode + half de-interleave, ImfZip.cpp
-// uncompress path), HALF/FLOAT/UINT -> float32 conversion, and the scatter
-// from channel-planar scanlines into an interleaved (H, W, C) float buffer.
-// Chunks are independent, so they decode on a small thread pool; the ctypes
-// call releases the GIL, so the Python-side ThreadPoolExecutor over files
-// also scales (the pure-Python decoder is GIL-bound).
+// this library, which does the hot work: payload decompression (zlib
+// inflate / RLE / PIZ), the EXR ZIP pre-filter inversion (delta-decode +
+// half de-interleave, ImfZip.cpp uncompress path), HALF/FLOAT/UINT ->
+// float32 conversion, and the scatter from channel-planar scanlines into
+// an interleaved (H, W, C) float buffer. Chunks are independent, so they
+// decode on a small thread pool; the ctypes call releases the GIL, so the
+// Python-side ThreadPoolExecutor over files also scales (the pure-Python
+// decoder is GIL-bound).
+//
+// PIZ (Huffman-coded 2D Haar wavelet, the default compression of many HDRI
+// tools) is implemented from the published format — see
+// reni_tpu/data/piz.py for the commented reference implementation this is
+// a port of; tests pin the two bit-identical.
 //
 // Replaces the native OpenEXR/imageio dependency of the reference
 // (reference: src/data/datasets.py:80, environment.yml `openexr`).
@@ -87,6 +93,393 @@ void unpredict_deinterleave(const uint8_t* in, size_t n, uint8_t* out,
   if (na > nb) out[2 * nb] = a[nb];  // odd byte count
 }
 
+// OpenEXR RLE (ImfRle.cpp rleUncompress): signed count byte — negative n
+// copies -n literal bytes, non-negative n repeats the next byte n+1 times.
+bool rle_uncompress(const uint8_t* in, size_t n, uint8_t* out,
+                    size_t out_size) {
+  size_t i = 0, o = 0;
+  while (i < n) {
+    uint8_t b = in[i++];
+    if (b > 127) {  // negative signed char: literal run
+      size_t count = 256 - static_cast<size_t>(b);
+      if (i + count > n || o + count > out_size) return false;
+      std::memcpy(out + o, in + i, count);
+      i += count;
+      o += count;
+    } else {
+      size_t count = static_cast<size_t>(b) + 1;
+      if (i >= n || o + count > out_size) return false;
+      std::memset(out + o, in[i++], count);
+      o += count;
+    }
+  }
+  return o == out_size;
+}
+
+// ---------------------------------------------------------------------------
+// PIZ decode (port of reni_tpu/data/piz.py; original algorithm from the
+// published OpenEXR ImfPizCompressor/ImfHuf/ImfWav format docs)
+// ---------------------------------------------------------------------------
+
+constexpr int USHORT_RANGE = 1 << 16;
+constexpr int PIZ_BITMAP_SIZE = USHORT_RANGE >> 3;
+constexpr int HUF_ENCSIZE = USHORT_RANGE + 1;
+constexpr int HUF_DECBITS = 14;
+constexpr int HUF_DECSIZE = 1 << HUF_DECBITS;
+constexpr int HUF_DECMASK = HUF_DECSIZE - 1;
+constexpr int SHORT_ZEROCODE_RUN = 59;
+constexpr int LONG_ZEROCODE_RUN = 63;
+constexpr int SHORTEST_LONG_RUN = 2 + LONG_ZEROCODE_RUN - SHORT_ZEROCODE_RUN;
+
+struct PizCtx {
+  std::vector<uint16_t> tmp;              // planar ushort buffer
+  std::vector<uint16_t> lut;              // reverse LUT (65536)
+  std::vector<uint8_t> bitmap;            // 8192
+  std::vector<int32_t> lengths;           // code lengths (HUF_ENCSIZE)
+  std::vector<uint64_t> codes;            // canonical codes (HUF_ENCSIZE)
+  std::vector<int32_t> slen, slit;        // short-code table (HUF_DECSIZE)
+  std::vector<std::vector<int>> longl;    // long-code lists per slot
+};
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t c = 0;
+  int lc = 0;
+  bool ok = true;
+
+  int read(int nbits) {
+    while (lc < nbits) {
+      if (p >= end) {
+        ok = false;
+        return 0;
+      }
+      c = (c << 8) | *p++;
+      lc += 8;
+    }
+    lc -= nbits;
+    return static_cast<int>((c >> lc) & ((1u << nbits) - 1));
+  }
+};
+
+uint16_t reverse_lut_from_bitmap(const uint8_t* bitmap, uint16_t* lut) {
+  int k = 0;
+  for (int i = 0; i < USHORT_RANGE; ++i) {
+    if (i == 0 || (bitmap[i >> 3] & (1 << (i & 7)))) lut[k++] = i;
+  }
+  int n = k - 1;
+  while (k < USHORT_RANGE) lut[k++] = 0;
+  return static_cast<uint16_t>(n);
+}
+
+// hufCanonicalCodeTable: derive canonical codes from code lengths.
+void canonical_codes(const int32_t* lengths, uint64_t* codes) {
+  uint64_t n[59] = {0};
+  for (int i = 0; i < HUF_ENCSIZE; ++i)
+    if (lengths[i] > 0 && lengths[i] <= 58) n[lengths[i]]++;
+  uint64_t c = 0;
+  for (int i = 58; i > 0; --i) {
+    uint64_t nc = (c + n[i]) >> 1;
+    n[i] = c;
+    c = nc;
+  }
+  for (int i = 0; i < HUF_ENCSIZE; ++i) {
+    int l = lengths[i];
+    codes[i] = (l > 0) ? n[l]++ : 0;
+  }
+}
+
+bool unpack_enc_table(BitReader& r, int im, int iM, int32_t* lengths) {
+  std::memset(lengths, 0, sizeof(int32_t) * HUF_ENCSIZE);
+  int i = im;
+  while (i <= iM) {
+    int l = r.read(6);
+    if (!r.ok) return false;
+    if (l == LONG_ZEROCODE_RUN) {
+      int zerun = r.read(8) + SHORTEST_LONG_RUN;
+      if (!r.ok || i + zerun > iM + 1) return false;
+      i += zerun;
+    } else if (l >= SHORT_ZEROCODE_RUN) {
+      int zerun = l - SHORT_ZEROCODE_RUN + 2;
+      if (i + zerun > iM + 1) return false;
+      i += zerun;
+    } else {
+      lengths[i++] = l;
+    }
+  }
+  r.c = 0;  // the data stream starts at the next byte boundary
+  r.lc = 0;
+  return true;
+}
+
+bool build_dec_table(PizCtx& ctx, int im, int iM) {
+  ctx.slen.assign(HUF_DECSIZE, 0);
+  ctx.slit.assign(HUF_DECSIZE, 0);
+  ctx.longl.assign(HUF_DECSIZE, {});
+  for (int sym = im; sym <= iM; ++sym) {
+    int l = ctx.lengths[sym];
+    if (l == 0) continue;
+    uint64_t c = ctx.codes[sym];
+    if (c >> l) return false;
+    if (l > HUF_DECBITS) {
+      int slot = static_cast<int>(c >> (l - HUF_DECBITS));
+      if (ctx.slen[slot]) return false;
+      ctx.longl[slot].push_back(sym);
+    } else {
+      int base = static_cast<int>(c << (HUF_DECBITS - l));
+      int span = 1 << (HUF_DECBITS - l);
+      for (int s = base; s < base + span; ++s) {
+        if (ctx.slen[s] || !ctx.longl[s].empty()) return false;
+        ctx.slen[s] = l;
+        ctx.slit[s] = sym;
+      }
+    }
+  }
+  return true;
+}
+
+bool huf_uncompress(PizCtx& ctx, const uint8_t* in, size_t n_in, uint16_t* out,
+                    size_t n_out) {
+  if (n_out == 0) return true;
+  if (n_in < 20) return false;
+  uint32_t im, iM, table_len, n_bits;
+  std::memcpy(&im, in, 4);
+  std::memcpy(&iM, in + 4, 4);
+  std::memcpy(&table_len, in + 8, 4);
+  std::memcpy(&n_bits, in + 12, 4);
+  (void)table_len;
+  if (im >= HUF_ENCSIZE || iM >= HUF_ENCSIZE) return false;
+  BitReader r{in + 20, in + n_in};
+  ctx.lengths.resize(HUF_ENCSIZE);
+  ctx.codes.resize(HUF_ENCSIZE);
+  if (!unpack_enc_table(r, im, iM, ctx.lengths.data())) return false;
+  canonical_codes(ctx.lengths.data(), ctx.codes.data());
+  if (!build_dec_table(ctx, im, iM)) return false;
+
+  const uint8_t* p = r.p;
+  const uint8_t* end = p + (n_bits + 7) / 8;
+  if (end > in + n_in) return false;
+  uint64_t c = 0;
+  int lc = 0;
+  size_t n = 0;
+  const int rlc = iM;
+
+  auto emit = [&](int sym) -> bool {
+    if (sym == rlc) {
+      if (lc < 8) {
+        if (p >= end) return false;
+        c = (c << 8) | *p++;
+        lc += 8;
+      }
+      lc -= 8;
+      int cs = static_cast<int>((c >> lc) & 0xFF);
+      if (n == 0 || n + cs > n_out) return false;
+      uint16_t s = out[n - 1];
+      for (int k = 0; k < cs; ++k) out[n++] = s;
+    } else {
+      if (n >= n_out) return false;
+      out[n++] = static_cast<uint16_t>(sym);
+    }
+    return true;
+  };
+
+  while (p < end) {
+    c = (c << 8) | *p++;
+    lc += 8;
+    while (lc >= HUF_DECBITS) {
+      int slot = static_cast<int>((c >> (lc - HUF_DECBITS)) & HUF_DECMASK);
+      int l = ctx.slen[slot];
+      if (l) {
+        lc -= l;
+        if (!emit(ctx.slit[slot])) return false;
+      } else {
+        const std::vector<int>& lst = ctx.longl[slot];
+        if (lst.empty()) return false;
+        bool found = false;
+        for (int sym : lst) {
+          int sl = ctx.lengths[sym];
+          while (lc < sl && p < end) {
+            c = (c << 8) | *p++;
+            lc += 8;
+          }
+          if (lc >= sl &&
+              ctx.codes[sym] == ((c >> (lc - sl)) & ((1ull << sl) - 1))) {
+            lc -= sl;
+            if (!emit(sym)) return false;
+            found = true;
+            break;
+          }
+        }
+        if (!found) return false;
+      }
+    }
+  }
+  // drop the byte-padding bits, then decode the left-aligned tail
+  int pad = (8 - static_cast<int>(n_bits)) & 7;
+  c >>= pad;
+  lc -= pad;
+  while (lc > 0) {
+    int slot = static_cast<int>((c << (HUF_DECBITS - lc)) & HUF_DECMASK);
+    int l = ctx.slen[slot];
+    if (l && l <= lc) {
+      lc -= l;
+      if (!emit(ctx.slit[slot])) return false;
+    } else {
+      break;
+    }
+  }
+  return n == n_out;
+}
+
+// ImfWav.cpp wdec14/wdec16 + wav2Decode (strided lattice, scalar port).
+inline void wdec14(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int16_t ls = static_cast<int16_t>(l);
+  int16_t hs = static_cast<int16_t>(h);
+  int hi = hs;
+  int ai = ls + (hi & 1) + (hi >> 1);
+  int16_t as = static_cast<int16_t>(ai);
+  int16_t bs = static_cast<int16_t>(ai - hi);
+  a = static_cast<uint16_t>(as);
+  b = static_cast<uint16_t>(bs);
+}
+
+constexpr int W16_A_OFFSET = 1 << 15;
+constexpr int W16_MOD_MASK = (1 << 16) - 1;
+
+inline void wdec16(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int m = l;
+  int d = h;
+  int bb = (m - (d >> 1)) & W16_MOD_MASK;
+  int aa = (d + bb - W16_A_OFFSET) & W16_MOD_MASK;
+  b = static_cast<uint16_t>(bb);
+  a = static_cast<uint16_t>(aa);
+}
+
+void wav2_decode(uint16_t* in, int nx, int ox, int ny, int oy, uint16_t mx) {
+  bool w14 = mx < (1 << 14);
+  int n = (nx > ny) ? ny : nx;
+  int p = 1;
+  while (p <= n) p <<= 1;
+  p >>= 1;
+  int p2 = p;
+  p >>= 1;
+  while (p >= 1) {
+    uint16_t* py = in;
+    uint16_t* ey = in + static_cast<ptrdiff_t>(oy) * (ny - p2);
+    int oy1 = oy * p, oy2 = oy * p2;
+    int ox1 = ox * p, ox2 = ox * p2;
+    uint16_t i00, i01, i10, i11;
+    uint16_t* px = py;
+    for (; py <= ey; py += oy2) {
+      px = py;
+      uint16_t* ex = py + static_cast<ptrdiff_t>(ox) * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t* p10 = px + oy1;
+        uint16_t* p11 = p10 + ox1;
+        if (w14) {
+          wdec14(*px, *p10, i00, i10);
+          wdec14(*p01, *p11, i01, i11);
+          wdec14(i00, i01, *px, *p01);
+          wdec14(i10, i11, *p10, *p11);
+        } else {
+          wdec16(*px, *p10, i00, i10);
+          wdec16(*p01, *p11, i01, i11);
+          wdec16(i00, i01, *px, *p01);
+          wdec16(i10, i11, *p10, *p11);
+        }
+      }
+      if (nx & p) {
+        uint16_t* p10 = px + oy1;
+        if (w14)
+          wdec14(*px, *p10, i00, *p10);
+        else
+          wdec16(*px, *p10, i00, *p10);
+        *px = i00;
+      }
+    }
+    if (ny & p) {
+      px = py;
+      uint16_t* ex = py + static_cast<ptrdiff_t>(ox) * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        if (w14)
+          wdec14(*px, *p01, i00, *p01);
+        else
+          wdec16(*px, *p01, i00, *p01);
+        *px = i00;
+      }
+    }
+    p2 = p;
+    p >>= 1;
+  }
+}
+
+// Decode one PIZ chunk payload into scanline-interleaved raw bytes (the
+// same layout the NONE/ZIP paths hand to the channel scatter).
+bool piz_uncompress(PizCtx& ctx, const uint8_t* payload, size_t size,
+                    int n_channels, const int32_t* ch_ptypes, int width,
+                    int nrows, uint8_t* raw_out) {
+  if (size < 4) return false;
+  uint16_t mn, mx;
+  std::memcpy(&mn, payload, 2);
+  std::memcpy(&mx, payload + 2, 2);
+  size_t pos = 4;
+  if (mx >= PIZ_BITMAP_SIZE) return false;
+  ctx.bitmap.assign(PIZ_BITMAP_SIZE, 0);
+  if (mn <= mx) {
+    size_t nb = static_cast<size_t>(mx) - mn + 1;
+    if (pos + nb > size) return false;
+    std::memcpy(ctx.bitmap.data() + mn, payload + pos, nb);
+    pos += nb;
+  }
+  ctx.lut.resize(USHORT_RANGE);
+  uint16_t max_value = reverse_lut_from_bitmap(ctx.bitmap.data(),
+                                               ctx.lut.data());
+  if (pos + 4 > size) return false;
+  uint32_t length;
+  std::memcpy(&length, payload + pos, 4);
+  pos += 4;
+  if (pos + length > size) return false;
+
+  // channel layout: size 1 for HALF, 2 for FLOAT/UINT (ushort pairs)
+  size_t total = 0;
+  for (int ci = 0; ci < n_channels; ++ci)
+    total += static_cast<size_t>(width) * (ch_ptypes[ci] == 1 ? 1 : 2) * nrows;
+  ctx.tmp.resize(total);
+  if (!huf_uncompress(ctx, payload + pos, length, ctx.tmp.data(), total))
+    return false;
+
+  size_t start = 0;
+  for (int ci = 0; ci < n_channels; ++ci) {
+    int csize = ch_ptypes[ci] == 1 ? 1 : 2;
+    int nx = width;  // pixels per row
+    for (int j = 0; j < csize; ++j)
+      wav2_decode(ctx.tmp.data() + start + j, nx, csize, nrows, nx * csize,
+                  max_value);
+    start += static_cast<size_t>(nx) * csize * nrows;
+  }
+  for (size_t i = 0; i < total; ++i) ctx.tmp[i] = ctx.lut[ctx.tmp[i]];
+
+  // planar -> scanline-interleaved (per row, channels in file order)
+  size_t row_ushorts = 0;
+  for (int ci = 0; ci < n_channels; ++ci)
+    row_ushorts += static_cast<size_t>(width) * (ch_ptypes[ci] == 1 ? 1 : 2);
+  uint16_t* out16 = reinterpret_cast<uint16_t*>(raw_out);
+  size_t ch_start = 0;
+  size_t col = 0;
+  for (int ci = 0; ci < n_channels; ++ci) {
+    size_t nx = static_cast<size_t>(width) * (ch_ptypes[ci] == 1 ? 1 : 2);
+    for (int r = 0; r < nrows; ++r)
+      std::memcpy(out16 + static_cast<size_t>(r) * row_ushorts + col,
+                  ctx.tmp.data() + ch_start + static_cast<size_t>(r) * nx,
+                  nx * 2);
+    ch_start += nx * nrows;
+    col += nx;
+  }
+  return true;
+}
+
 struct ChunkInfo {
   int y;
   const uint8_t* payload;
@@ -96,7 +489,7 @@ struct ChunkInfo {
 struct DecodeJob {
   const std::vector<ChunkInfo>* chunks;
   int lines_per_chunk;
-  int compression;  // 0 NONE, 2 ZIPS, 3 ZIP
+  int compression;  // 0 NONE, 1 RLE, 2 ZIPS, 3 ZIP, 4 PIZ
   int width;
   int height;
   int ymin;
@@ -118,6 +511,7 @@ void decode_worker(DecodeJob job) {
   const size_t max_raw =
       static_cast<size_t>(job.lines_per_chunk) * job.width * bytes_per_pixel;
   std::vector<uint8_t> raw(max_raw), scratch(max_raw), inflated(max_raw);
+  PizCtx piz_ctx;  // per-worker reusable PIZ buffers
 
   for (;;) {
     int ci = job.next->fetch_add(1);
@@ -135,14 +529,29 @@ void decode_worker(DecodeJob job) {
 
     const uint8_t* src;
     if (job.compression == 0 || ch.size >= raw_size) {
-      // uncompressed, or the writer stored the chunk raw (ZIP chunks whose
-      // deflate output would not shrink)
+      // uncompressed, or the writer stored the chunk raw (chunks whose
+      // compressed output would not shrink)
       if (ch.size < raw_size) {
         job.err->store(3);
         return;
       }
       src = ch.payload;
-    } else {
+    } else if (job.compression == 1) {  // RLE (+ the shared ZIP pre-filter)
+      if (!rle_uncompress(ch.payload, ch.size, inflated.data(), raw_size)) {
+        job.err->store(5);
+        return;
+      }
+      unpredict_deinterleave(inflated.data(), raw_size, raw.data(),
+                             scratch.data());
+      src = raw.data();
+    } else if (job.compression == 4) {  // PIZ
+      if (!piz_uncompress(piz_ctx, ch.payload, ch.size, job.n_file_channels,
+                          job.ch_ptypes, job.width, nrows, raw.data())) {
+        job.err->store(6);
+        return;
+      }
+      src = raw.data();
+    } else {  // ZIPS / ZIP
       uLongf dest_len = raw_size;
       int rc = uncompress(inflated.data(), &dest_len, ch.payload,
                           static_cast<uLong>(ch.size));
@@ -203,7 +612,7 @@ void decode_worker(DecodeJob job) {
 extern "C" {
 
 // Returns 0 on success; 1 bad chunk framing, 2 bad y, 3 short raw chunk,
-// 4 zlib failure.
+// 4 zlib failure, 5 corrupt RLE, 6 corrupt PIZ.
 int exr_decode_chunks(const uint8_t* data, long long data_size, long long pos,
                       int n_chunks, int lines_per_chunk, int compression,
                       int width, int height, int ymin, int n_file_channels,

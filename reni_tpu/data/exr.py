@@ -16,10 +16,11 @@ the no-compiler fallback and the parity oracle
 Supported (covers the RENI_HDR dataset and everything typical tooling emits):
 - single-part scanline images, version 2
 - pixel types HALF, FLOAT and UINT; channels R, G, B (A and Y read too)
-- compression: NONE, ZIPS (1 line/chunk), ZIP (16 lines/chunk)
+- compression: NONE, RLE (1 line/chunk), ZIPS (1), ZIP (16),
+  PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``)
 - increasing-y line order
 
-Unsupported (raises): tiled/deep/multi-part, PIZ/PXR24/B44/DWA compression.
+Unsupported (raises): tiled/deep/multi-part, PXR24/B44/DWA compression.
 
 Format reference: the public OpenEXR file-format documentation
 (openexr.com/en/latest/OpenEXRFileLayout.html).
@@ -96,8 +97,63 @@ def _load_native_locked():
 
 _MAGIC = 20000630
 _PIXEL_DTYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
-_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16}  # NONE, RLE, ZIPS, ZIP
+# NONE, RLE, ZIPS, ZIP, PIZ
+_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}
 _COMPRESSION_NAMES = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ", 5: "PXR24"}
+
+
+def _rle_uncompress(payload: bytes) -> bytes:
+    """OpenEXR RLE (ImfRle.cpp rleUncompress): signed count byte — negative
+    n copies -n literal bytes, non-negative n repeats the next byte n+1
+    times. The result still carries the ZIP pre-filter."""
+    out = bytearray()
+    i, n = 0, len(payload)
+    while i < n:
+        b = payload[i]
+        i += 1
+        if b > 127:  # signed negative: literal run
+            count = 256 - b
+            if i + count > n:
+                raise ExrError("corrupt RLE chunk (literal overrun)")
+            out += payload[i : i + count]
+            i += count
+        else:
+            if i >= n:
+                raise ExrError("corrupt RLE chunk (missing run byte)")
+            out += payload[i : i + 1] * (b + 1)
+            i += 1
+    return bytes(out)
+
+
+def _rle_compress(data: bytes) -> bytes:
+    """OpenEXR RLE (ImfRle.cpp rleCompress): runs of >=3 equal bytes become
+    (count-1, byte); literal stretches become (-count, bytes...)."""
+    MAX_RUN, MIN_RUN = 127, 3
+    out = bytearray()
+    n = len(data)
+    rs, re = 0, 1
+    while rs < n:
+        while re < n and data[rs] == data[re] and re - rs - 1 < MAX_RUN:
+            re += 1
+        if re - rs >= MIN_RUN:
+            out.append(re - rs - 1)
+            out.append(data[rs])
+            rs = re
+        else:
+            while (
+                re < n
+                and (
+                    (re + 1 >= n or data[re] != data[re + 1])
+                    or (re + 2 >= n or data[re + 1] != data[re + 2])
+                )
+                and re - rs < MAX_RUN
+            ):
+                re += 1
+            out.append(256 - (re - rs))  # negative literal count
+            out += data[rs:re]
+            rs = re
+        re += 1
+    return bytes(out)
 
 
 class ExrError(ValueError):
@@ -176,12 +232,12 @@ def read(path: str) -> np.ndarray:
 
     channels = _parse_channels(attrs["channels"][1])
     compression = attrs["compression"][1][0]
-    if compression not in (0, 2, 3):
+    if compression not in (0, 1, 2, 3, 4):
         raise ExrError(
             f"{path}: compression {_COMPRESSION_NAMES.get(compression, compression)} "
-            "not supported (NONE/ZIPS/ZIP only) — transcode once with any "
-            "OpenEXR tool, e.g. `oiiotool in.exr --compression zip -o out.exr` "
-            "or `exrcopy -z zip`"
+            "not supported (NONE/RLE/ZIPS/ZIP/PIZ only) — transcode once with "
+            "any OpenEXR tool, e.g. `oiiotool in.exr --compression zip -o "
+            "out.exr` or `exrcopy -z zip`"
         )
     xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = xmax - xmin + 1, ymax - ymin + 1
@@ -252,13 +308,21 @@ def read(path: str) -> np.ndarray:
         row0 = y - ymin
         nrows = min(lines_per_chunk, height - row0)
         raw_size = nrows * width * sum(d.itemsize for d in ch_dtypes)
-        if compression == 0:
+        if compression == 0 or size >= raw_size:
+            # uncompressed, or the writer stored the chunk raw (any
+            # compressor whose output would not shrink)
             raw = np.frombuffer(payload, dtype=np.uint8)
+        elif compression == 1:
+            raw = _unpredict_deinterleave(_rle_uncompress(payload))
+        elif compression == 4:
+            from reni_tpu.data import piz
+
+            ptypes = [pt for _, pt, _, _ in channels]
+            raw = np.frombuffer(
+                piz.decompress(payload, ptypes, width, nrows), dtype=np.uint8
+            )
         else:
-            if size >= raw_size:
-                raw = np.frombuffer(payload, dtype=np.uint8)  # stored raw
-            else:
-                raw = _unpredict_deinterleave(zlib.decompress(payload))
+            raw = _unpredict_deinterleave(zlib.decompress(payload))
         off = 0
         for r in range(nrows):
             for name, dt in zip(ch_names, ch_dtypes):
@@ -280,7 +344,8 @@ def _attr(name: str, atype: str, payload: bytes) -> bytes:
 
 
 def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: str = "ZIP"):
-    """Write (H, W, 3|1) float array as a scanline EXR (RGB or Y)."""
+    """Write (H, W, 3|1) float array as a scanline EXR (RGB or Y).
+    Compressions: NONE, RLE, ZIPS, ZIP, PIZ."""
     img = np.asarray(img, dtype=np.float32)
     if img.ndim == 2:
         img = img[..., None]
@@ -295,7 +360,7 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
 
     ptype = 1 if pixel_type == "half" else 2
     dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
-    comp = {"NONE": 0, "ZIPS": 2, "ZIP": 3}[compression]
+    comp = {"NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4}[compression]
     lines_per_chunk = _COMPRESSION_LINES[comp]
 
     chan_entries = b""
@@ -327,6 +392,16 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
         raw = b"".join(lines)
         if comp == 0:
             payload = raw
+        elif comp == 1:
+            z = _rle_compress(
+                _predict_interleave(np.frombuffer(raw, dtype=np.uint8))
+            )
+            payload = z if len(z) < len(raw) else raw
+        elif comp == 4:
+            from reni_tpu.data import piz
+
+            z = piz.compress(raw, [ptype] * len(names), width, nrows)
+            payload = z if len(z) < len(raw) else raw
         else:
             z = zlib.compress(
                 _predict_interleave(np.frombuffer(raw, dtype=np.uint8))

@@ -61,7 +61,7 @@ def test_exr_decode_roundtrip(tmp_path):
 
     rng = np.random.default_rng(3)
     img = rng.gamma(2.0, 1.0, size=(8, 16, 3)).astype(np.float32)
-    for comp in ("NONE", "ZIPS", "ZIP"):
+    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ"):
         for ptype, tol in (("float", 1e-7), ("half", 1e-2)):
             p = str(tmp_path / f"test_{comp}_{ptype}.exr")
             exr.write(p, img, pixel_type=ptype, compression=comp)
@@ -102,7 +102,7 @@ def test_exr_native_decoder_matches_python(tmp_path):
     if exr._load_native() is None:
         pytest.skip("native toolchain unavailable")
     rng = np.random.default_rng(0)
-    for comp in ("NONE", "ZIPS", "ZIP"):
+    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ"):
         for ptype in ("half", "float"):
             img = (rng.normal(size=(33, 47, 3)) * 4).astype(np.float32)
             # subnormal-half magnitudes and exact zero exercise the
@@ -119,6 +119,104 @@ def test_exr_native_decoder_matches_python(tmp_path):
             finally:
                 exr._lib, exr._lib_failed = saved
             np.testing.assert_array_equal(native, ref)
+
+
+def test_exr_piz_rle_bit_exact_roundtrip(tmp_path):
+    """PIZ (Huffman + wavelet) and RLE must round-trip BIT-exactly — any
+    drift would shift the dataset log-minmax discovery and all PSNR
+    comparisons (reference decodes these through native OpenEXR,
+    src/data/datasets.py:80)."""
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(11)
+    # odd dims: exercises the wavelet's odd-row/column 1-D paths and a
+    # partial final 32-line PIZ chunk; zeros + plateaus exercise the RLE
+    # runs and the PIZ bitmap/LUT compaction
+    img = rng.lognormal(0.0, 2.0, (67, 41, 3)).astype(np.float32)
+    img[10:20, 5:15] = 0.0
+    img[30:35] = 1.5
+    for comp in ("RLE", "PIZ"):
+        for ptype in ("half", "float"):
+            p = str(tmp_path / f"bit_{comp}_{ptype}.exr")
+            exr.write(p, img, pixel_type=ptype, compression=comp)
+            back = exr.read(p)
+            ref = (
+                img.astype(np.float16).astype(np.float32)
+                if ptype == "half"
+                else img
+            )
+            np.testing.assert_array_equal(back, ref)
+
+
+def test_exr_piz_edge_shapes(tmp_path):
+    """Degenerate lattices: all-zero (empty bitmap), constant, 1x1, single
+    row/column (wavelet levels collapse)."""
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(12)
+    cases = [
+        np.zeros((40, 32, 3), np.float32),
+        np.full((33, 7, 3), 2.5, np.float32),
+        rng.normal(size=(1, 1, 3)).astype(np.float32),
+        rng.normal(size=(1, 64, 3)).astype(np.float32),
+        rng.normal(size=(64, 1, 3)).astype(np.float32),
+    ]
+    for i, img in enumerate(cases):
+        p = str(tmp_path / f"edge_{i}.exr")
+        exr.write(p, img, pixel_type="half", compression="PIZ")
+        np.testing.assert_array_equal(
+            exr.read(p), img.astype(np.float16).astype(np.float32)
+        )
+
+
+def test_piz_wavelet_and_huffman_units():
+    """Unit-level pins for the PIZ building blocks."""
+    from reni_tpu.data import piz
+
+    rng = np.random.default_rng(13)
+    # wavelet: encode+decode is the identity, both arithmetic modes
+    for max_value, shape in ((100, (32, 48)), (1 << 15, (31, 17)), (5, (1, 9))):
+        a = rng.integers(0, max_value + 1, shape).astype(np.uint16)
+        b = a.copy()
+        piz.wav2_encode(b, max_value)
+        if shape[0] > 2 and shape[1] > 2:
+            assert not np.array_equal(a, b)  # it did transform something
+        piz.wav2_decode(b, max_value)
+        np.testing.assert_array_equal(a, b)
+
+    # huffman: skewed + runs + the >14-bit long-code path via many symbols
+    data = np.concatenate(
+        [
+            np.zeros(5000, np.uint16),  # long runs -> RLE escape symbol
+            rng.integers(0, 60000, 4000).astype(np.uint16),  # wide alphabet
+            np.full(300, 7, np.uint16),
+        ]
+    )
+    packed = piz.huf_compress(data)
+    out = piz.huf_uncompress(packed, data.size)
+    np.testing.assert_array_equal(out, data)
+
+    # bitmap/LUT: forward then reverse recovers the values
+    vals = rng.integers(0, 65536, 2000).astype(np.uint16)
+    bitmap, mn, mx = piz.bitmap_from_data(vals)
+    fwd, maxv1 = piz.forward_lut_from_bitmap(bitmap)
+    rev, maxv2 = piz.reverse_lut_from_bitmap(bitmap)
+    assert maxv1 == maxv2
+    np.testing.assert_array_equal(rev[fwd[vals]], vals)
+
+
+def test_exr_rle_codec_units():
+    from reni_tpu.data.exr import _rle_compress, _rle_uncompress
+
+    rng = np.random.default_rng(14)
+    for data in (
+        b"",
+        b"a",
+        b"a" * 500,
+        bytes(rng.integers(0, 256, 1000, dtype=np.uint8)),
+        b"ab" * 64 + b"c" * 200 + bytes(range(256)),
+    ):
+        assert _rle_uncompress(_rle_compress(data)) == data
 
 
 def test_hdr_dataset_pipeline(tmp_path):
