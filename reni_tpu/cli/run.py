@@ -40,6 +40,20 @@ from reni_tpu.train.visualize import example_images
 from reni_tpu.utils.config import experiment_name, get_cfg_defaults
 
 
+def _deadline_reached(deadline: float | None) -> bool:
+    """TRAINER.MAX_RUNTIME check, COLLECTIVE across processes: host 0's
+    clock decides, so either every host stops after this segment or none
+    does — a host breaking out alone leaves the rest blocked in training
+    psums / fetch_tree allgathers (advisor round 2). Every process calls
+    this at the same loop points (the per-segment callbacks and the task
+    loop), so the broadcast is matched."""
+    if deadline is None:
+        return False
+    from reni_tpu.parallel import multihost
+
+    return multihost.agree_on_flag(time.time() > deadline)
+
+
 class _BestTracker:
     """save_top_k=2 checkpointing by monitored loss (run.py:79-84), plus a
     ``{task}_latest`` checkpoint overwritten every periodic save — the
@@ -148,11 +162,14 @@ def run_task(
     save_dir = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR)
     tracker = _BestTracker(save_dir, task, model_cfg, write=primary)
     every = int(config.TRAINER.CHKPTS.EVERY_N_EPOCHS)
-    # image logging is single-process only: example_images runs eager host
-    # computations on the params, which cross-process global arrays forbid.
-    # The gate must NOT depend on `primary` — cb_every controls the jit-scan
-    # segmentation, and every process must dispatch identical programs.
-    log_images = jax.process_count() == 1 and bool(config.TRAINER.LOGGER.LOG_IMAGES)
+    # image logging under multi-process: every process joins a symmetric
+    # fetch_tree (a collective when the state is cross-process sharded),
+    # then host 0 alone renders and logs the grid from the fetched
+    # host-local params (reference callbacks.py:128-139 logs from rank 0).
+    # The gate is config-derived — identical on every process — because
+    # cb_every controls the jit-scan segmentation and all processes must
+    # dispatch identical programs.
+    log_images = bool(config.TRAINER.LOGGER.LOG_IMAGES)
     img_every = int(config.TRAINER.LOGGER.EPOCHS_BETWEEN_EXAMPLES)
     cb_every = min(every, img_every) if log_images else every
 
@@ -174,24 +191,28 @@ def run_task(
                 params_now, epoch, loss,
                 opt_state=state_now.opt_state, rng_key=state_now.key,
             )
-        if deadline is not None and time.time() > deadline:
+        if _deadline_reached(deadline):
             # TRAINER.MAX_RUNTIME exceeded: stop cleanly after this segment
             # (the reference declares this knob but never reads it)
             return True
         if log_images and epoch % img_every == 0:
-            mode = config.TRAINER.LOGGER.IMAGES_TO_SHOW
-            grid = example_images(
-                model,
-                params_now,
-                res,
-                mode=mode,
-                n_images=int(config.TRAINER.LOGGER.NUMBER_OF_IMAGES),
-                key=k_img,
-                dataset_images=dataset.images_at(res),
-                unnormalise=dataset.unnormalise,
-                is_hdr=is_hdr,
-            )
-            logger.log_image(f"{task.lower()}_images", grid, epoch)
+            # symmetric: collective allgather when params are sharded
+            # across processes; every process joins, host 0 renders
+            params_host = ckpt.fetch_tree(params_now)
+            if primary:
+                mode = config.TRAINER.LOGGER.IMAGES_TO_SHOW
+                grid = example_images(
+                    model,
+                    params_host,
+                    res,
+                    mode=mode,
+                    n_images=int(config.TRAINER.LOGGER.NUMBER_OF_IMAGES),
+                    key=k_img,
+                    dataset_images=dataset.images_at(res),
+                    unnormalise=dataset.unnormalise,
+                    is_hdr=is_hdr,
+                )
+                logger.log_image(f"{task.lower()}_images", grid, epoch)
 
     if task == "FIT_INVERSE":
         from reni_tpu.render.inverse import fit_inverse
@@ -212,7 +233,7 @@ def run_task(
                     state_now.params, epoch, loss,
                     opt_state=state_now.opt_state, rng_key=state_now.key,
                 )
-            if deadline is not None and time.time() > deadline:
+            if _deadline_reached(deadline):
                 return True
 
         from reni_tpu.render.inverse import InverseRenderSetup
@@ -236,25 +257,30 @@ def run_task(
             callback=inverse_callback,
         )
         if log_images:
-            # final GT-vs-recovered render grid (callbacks.py:102-109 analog)
-            res = task_cfg.resolution_stages()[-1][0]
-            gt = inv_setup.generate_gt_renders(
-                dataset.images_at(res), dataset.unnormalise, res[1]
-            )
-            grid = example_images(
-                model,
-                params,
-                res,
-                mode="random",
-                n_images=int(config.TRAINER.LOGGER.NUMBER_OF_IMAGES),
-                key=k_img,
-                dataset_images=dataset.images_at(res),
-                unnormalise=dataset.unnormalise,
-                is_hdr=is_hdr,
-                render_fn=inv_setup.render_fn(res[1]),
-                gt_renders=gt,
-            )
-            logger.log_image(f"{task.lower()}_images", grid, task_cfg.epochs)
+            # final GT-vs-recovered render grid (callbacks.py:102-109
+            # analog); symmetric fetch, host-0 render (as above)
+            params_host = ckpt.fetch_tree(params)
+            if primary:
+                res = task_cfg.resolution_stages()[-1][0]
+                gt = inv_setup.generate_gt_renders(
+                    dataset.images_at(res), dataset.unnormalise, res[1]
+                )
+                grid = example_images(
+                    model,
+                    params_host,
+                    res,
+                    mode="random",
+                    n_images=int(config.TRAINER.LOGGER.NUMBER_OF_IMAGES),
+                    key=k_img,
+                    dataset_images=dataset.images_at(res),
+                    unnormalise=dataset.unnormalise,
+                    is_hdr=is_hdr,
+                    render_fn=inv_setup.render_fn(res[1]),
+                    gt_renders=gt,
+                )
+                logger.log_image(
+                    f"{task.lower()}_images", grid, task_cfg.epochs
+                )
     else:
         opt_loader = None
         if resume_path is not None:
@@ -421,7 +447,7 @@ def main(config, mesh=None, resume=None, log_dir=None, profile_dir=None):
     results = {}
     try:
         for i, task in enumerate(tasks_list):
-            if deadline is not None and time.time() > deadline:
+            if _deadline_reached(deadline):
                 break
             dataset_name = config.DATASET.NAME
             dcfg = config.DATASET[dataset_name]
@@ -444,6 +470,11 @@ def main(config, mesh=None, resume=None, log_dir=None, profile_dir=None):
             results[task] = (params, metrics)
             if task == "FIT_DECODER":
                 chkpt_path = best
+                if i + 1 < len(tasks_list):
+                    # pods without a shared run directory: non-primary hosts
+                    # receive the chained checkpoint bytes from host 0
+                    # (advisor round 2; only host 0 writes files)
+                    multihost.ensure_checkpoint(best)
     finally:
         # must run on the exception path too: a dangling jax.profiler
         # session would make every --retries attempt die on start_trace
@@ -507,6 +538,17 @@ def run_with_retries(config, mesh=None, resume=None, retries: int = 0, profile_d
             traceback.print_exc()
             plan = _auto_resume_plan(config, log_dir)
             if jax.process_count() > 1:
+                # a failure local to a subset of hosts means the others are
+                # still inside main() and will never join the retry
+                # rendezvous — fail fast instead of hanging in the
+                # broadcast until the distributed runtime times out
+                if not multihost.barrier_timeout("retry_rendezvous", 300.0):
+                    print(
+                        "[retry] cluster split: not all hosts reached the "
+                        "retry point within 300 s — aborting",
+                        flush=True,
+                    )
+                    raise
                 # adopt host 0's plan: other hosts may not see its
                 # checkpoint files and would otherwise restart from scratch,
                 # dispatching divergent SPMD programs
@@ -516,6 +558,11 @@ def run_with_retries(config, mesh=None, resume=None, retries: int = 0, profile_d
                     _json.loads(multihost.agree_on_str(_json.dumps(list(plan))))
                 )
             tasks_list, resume, load_path = plan
+            if jax.process_count() > 1 and resume:
+                # the resume checkpoint may exist only on host 0's disk
+                multihost.ensure_checkpoint(resume)
+            if jax.process_count() > 1 and load_path:
+                multihost.ensure_checkpoint(load_path)
             if not tasks_list:
                 raise  # everything already completed; surface the error
             config = config.clone()

@@ -34,18 +34,35 @@ import numpy as np
 class DecoderService:
     """Artifact + optional latent table; thread-safe decode calls."""
 
-    def __init__(self, artifact_path: str, checkpoint_path: str | None = None):
+    def __init__(
+        self,
+        artifact_path: str,
+        checkpoint_path: str | None = None,
+        max_width: int = 2048,
+        max_batch: int = 64,
+    ):
         from reni_tpu import serve as _serve
 
         self.fn = _serve.load_exported(artifact_path)
         self.artifact_path = artifact_path
+        self.max_width = int(max_width)
+        self.max_batch = int(max_batch)
         self.latents = None
         if checkpoint_path is not None:
             from reni_tpu.train import checkpoint as ckpt
 
             params, _ = ckpt.load_checkpoint(checkpoint_path)
-            lat = params["latents"]
-            self.latents = np.asarray(lat.get("mu", lat.get("Z")))
+            lat = params.get("latents") or {}
+            table = lat.get("mu", lat.get("Z"))
+            if table is None:
+                # fail at startup, not with a confusing 0-d object-array
+                # indexing error inside the first /decode_idx request
+                raise ValueError(
+                    f"checkpoint {checkpoint_path!r} contains no latent "
+                    "table ('mu' or 'Z') — decoder-only exports cannot "
+                    "serve /decode_idx; start without --checkpoint"
+                )
+            self.latents = np.asarray(table)
         self._dirs: dict[int, np.ndarray] = {}
         self._lock = threading.Lock()
 
@@ -119,13 +136,44 @@ def make_handler(service: DecoderService):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 width = int(req.get("width", 128))
                 fmt = req.get("format", "list")
+                # request caps: a single oversized width/batch would
+                # allocate O(B * W^2) floats on host AND device and could
+                # OOM-kill the daemon (advisor round 2)
+                if not 2 <= width <= service.max_width or width % 2:
+                    self._reply(
+                        400,
+                        {
+                            "error": f"width must be even and in "
+                            f"[2, {service.max_width}], got {width}"
+                        },
+                    )
+                    return
                 if self.path == "/decode":
                     z = np.asarray(req["z"], dtype=np.float32)
                     if z.ndim == 2:
                         z = z[None]
+                    if z.shape[0] > service.max_batch:
+                        self._reply(
+                            400,
+                            {
+                                "error": f"batch {z.shape[0]} exceeds the "
+                                f"daemon cap ({service.max_batch})"
+                            },
+                        )
+                        return
                     out = service.decode(z, width)
                 elif self.path == "/decode_idx":
-                    out = service.decode_idx(req["idx"], width)
+                    idx = np.asarray(req["idx"]).reshape(-1)
+                    if idx.size > service.max_batch:
+                        self._reply(
+                            400,
+                            {
+                                "error": f"batch {idx.size} exceeds the "
+                                f"daemon cap ({service.max_batch})"
+                            },
+                        )
+                        return
+                    out = service.decode_idx(idx, width)
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
@@ -137,10 +185,17 @@ def make_handler(service: DecoderService):
 
 
 def make_server(
-    artifact: str, checkpoint: str | None = None, host: str = "127.0.0.1", port: int = 0
+    artifact: str,
+    checkpoint: str | None = None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_width: int = 2048,
+    max_batch: int = 64,
 ) -> ThreadingHTTPServer:
     """Build (not run) the server; ``.server_address`` has the bound port."""
-    service = DecoderService(artifact, checkpoint)
+    service = DecoderService(
+        artifact, checkpoint, max_width=max_width, max_batch=max_batch
+    )
     return ThreadingHTTPServer((host, port), make_handler(service))
 
 
@@ -150,8 +205,19 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint", default=None, help="checkpoint for /decode_idx")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8742)
+    parser.add_argument(
+        "--max_width", type=int, default=2048,
+        help="largest accepted decode width (memory cap; W x W/2 grid)",
+    )
+    parser.add_argument(
+        "--max_batch", type=int, default=64,
+        help="largest accepted decode batch (memory cap)",
+    )
     args = parser.parse_args(argv)
-    httpd = make_server(args.artifact, args.checkpoint, args.host, args.port)
+    httpd = make_server(
+        args.artifact, args.checkpoint, args.host, args.port,
+        max_width=args.max_width, max_batch=args.max_batch,
+    )
     print(f"serving {args.artifact} on http://{args.host}:{httpd.server_address[1]}")
     try:
         httpd.serve_forever()

@@ -99,6 +99,90 @@ def agree_on_str(value: str, max_len: int = 4096) -> str:
     return out[8 : 8 + n].tobytes().decode()
 
 
+def agree_on_flag(value: bool) -> bool:
+    """All processes adopt process 0's boolean.
+
+    Used for the MAX_RUNTIME deadline verdict: per-host wall clocks cross
+    the deadline at different instants, and a host that stops dispatching
+    alone leaves the rest of the cluster blocked in collectives (training
+    psums, fetch_tree allgathers) — a hang. Host 0's clock decides for
+    everyone. Collective: every process must call it at the same point."""
+    if jax.process_count() <= 1:
+        return bool(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return bool(
+        int(multihost_utils.broadcast_one_to_all(np.int32(1 if value else 0)))
+    )
+
+
+def ensure_file(path: str) -> None:
+    """Make host 0's file available at ``path`` on every process.
+
+    On a TPU pod without a shared run directory, only host 0 writes
+    checkpoints; the chained FIT_DECODER -> FIT_LATENT load (and --resume)
+    would fail on the other hosts. The bytes broadcast from host 0 over the
+    coordinator; non-primary hosts (re)write the file locally. Collective —
+    call from every process at the same point. No-op single-process."""
+    if jax.process_count() <= 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    primary = is_primary()
+    data = b""
+    if primary:
+        with open(path, "rb") as f:
+            data = f.read()
+    n = int(multihost_utils.broadcast_one_to_all(np.int64(len(data))))
+    buf = np.zeros(max(n, 1), np.uint8)
+    if primary and n:
+        buf[:n] = np.frombuffer(data, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    if not primary:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(out[:n].tobytes())
+        os.replace(tmp, path)
+
+
+def ensure_checkpoint(path_base: str) -> None:
+    """``ensure_file`` for a checkpoint's .npz + .json pair."""
+    for ext in (".npz", ".json"):
+        ensure_file(path_base + ext)
+
+
+def barrier_timeout(name: str, seconds: float) -> bool:
+    """A barrier that gives up after ``seconds``; returns False on timeout.
+
+    For the crash-retry path: only hosts whose main() raised reach the
+    retry rendezvous, so if the failure was local to a subset, the others
+    never join and a plain barrier would hang until the distributed runtime
+    times out. A False result means the cluster is split — fail fast. The
+    abandoned barrier thread is left behind; callers are expected to raise
+    (terminating the process) on timeout."""
+    if jax.process_count() <= 1:
+        return True
+    import threading
+
+    done = threading.Event()
+
+    def _sync():
+        try:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+            done.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_sync, daemon=True)
+    t.start()
+    return done.wait(timeout=seconds)
+
+
 def agree_on_path(path: str) -> str:
     """Adopt process 0's ``version_N``-suffixed run directory everywhere.
 

@@ -158,7 +158,12 @@ def test_cli_two_process_cluster(tmp_path):
     cfg.DATASET.RENI_LDR.PATH = str(tmp_path / "ldr")
     cfg.DATASET.RENI_LDR.TRANSFORMS = [["normalize", [[0.5] * 3, [0.5] * 3]]]
     cfg.TRAINER.CHKPTS.EVERY_N_EPOCHS = 4
-    cfg.TRAINER.LOGGER.LOG_IMAGES = False
+    # images ON under multi-process: every process joins the symmetric
+    # fetch, host 0 renders + writes (reference callbacks.py:128-139 logs
+    # from rank 0; round-2 verdict asked for this path to be restored)
+    cfg.TRAINER.LOGGER.LOG_IMAGES = True
+    cfg.TRAINER.LOGGER.EPOCHS_BETWEEN_EXAMPLES = 4
+    cfg.TRAINER.LOGGER.NUMBER_OF_IMAGES = 2
     cfg.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / "runs_mp")
     cfg_path = str(tmp_path / "exp.yaml")
     with open(cfg_path, "w") as f:
@@ -223,6 +228,10 @@ def test_cli_two_process_cluster(tmp_path):
     assert any(k.startswith("fit_latent") for _, k in mp_losses)
     ck = sorted((v / "checkpoints").glob("*final*"))
     assert len(ck) == 4  # {fit_decoder, fit_latent}_final .npz/.json
+    # host 0 must have logged image grids for both tasks
+    imgs = sorted((v / "images").glob("*.png"))
+    assert any("fit_decoder" in p.name for p in imgs), imgs
+    assert any("fit_latent" in p.name for p in imgs), imgs
 
     # single-process run, identical config, 4-device mesh
     from reni_tpu.cli.run import main
