@@ -480,6 +480,77 @@ bool piz_uncompress(PizCtx& ctx, const uint8_t* payload, size_t size,
   return true;
 }
 
+// PXR24 (ImfPxr24Compressor): per-row MSB-first byte planes of horizontal
+// value deltas (HALF 16-bit lossless, FLOAT rounded to 24 bits, UINT 32),
+// whole chunk deflated. Reconstructs the standard scanline-interleaved raw
+// layout (FLOAT values as f24 bits << 8).
+bool pxr24_uncompress(const uint8_t* payload, size_t size, int n_channels,
+                      const int32_t* ch_ptypes, int width, int nrows,
+                      std::vector<uint8_t>& inflate_buf, uint8_t* raw_out) {
+  size_t tmp_size = 0;
+  for (int ci = 0; ci < n_channels; ++ci) {
+    int nb = ch_ptypes[ci] == 1 ? 2 : (ch_ptypes[ci] == 2 ? 3 : 4);
+    tmp_size += static_cast<size_t>(width) * nb;
+  }
+  tmp_size *= nrows;
+  inflate_buf.resize(tmp_size);
+  uLongf dest_len = tmp_size;
+  if (uncompress(inflate_buf.data(), &dest_len, payload,
+                 static_cast<uLong>(size)) != Z_OK ||
+      dest_len != tmp_size)
+    return false;
+
+  const uint8_t* p = inflate_buf.data();
+  uint8_t* out = raw_out;
+  for (int r = 0; r < nrows; ++r) {
+    for (int ci = 0; ci < n_channels; ++ci) {
+      int pt = ch_ptypes[ci];
+      if (pt == 1) {  // HALF: 2 planes
+        const uint8_t* p0 = p;
+        const uint8_t* p1 = p + width;
+        p += 2 * static_cast<size_t>(width);
+        uint16_t prev = 0;
+        for (int x = 0; x < width; ++x) {
+          uint16_t diff = static_cast<uint16_t>((p0[x] << 8) | p1[x]);
+          prev = static_cast<uint16_t>(prev + diff);
+          std::memcpy(out + 2 * static_cast<size_t>(x), &prev, 2);
+        }
+        out += 2 * static_cast<size_t>(width);
+      } else if (pt == 2) {  // FLOAT: 3 planes of f24 deltas
+        const uint8_t* p0 = p;
+        const uint8_t* p1 = p + width;
+        const uint8_t* p2 = p + 2 * static_cast<size_t>(width);
+        p += 3 * static_cast<size_t>(width);
+        uint32_t prev = 0;
+        for (int x = 0; x < width; ++x) {
+          uint32_t diff = (static_cast<uint32_t>(p0[x]) << 16) |
+                          (static_cast<uint32_t>(p1[x]) << 8) | p2[x];
+          prev = (prev + diff) & 0xFFFFFFu;
+          uint32_t v = prev << 8;
+          std::memcpy(out + 4 * static_cast<size_t>(x), &v, 4);
+        }
+        out += 4 * static_cast<size_t>(width);
+      } else {  // UINT: 4 planes
+        const uint8_t* p0 = p;
+        const uint8_t* p1 = p + width;
+        const uint8_t* p2 = p + 2 * static_cast<size_t>(width);
+        const uint8_t* p3 = p + 3 * static_cast<size_t>(width);
+        p += 4 * static_cast<size_t>(width);
+        uint32_t prev = 0;
+        for (int x = 0; x < width; ++x) {
+          uint32_t diff = (static_cast<uint32_t>(p0[x]) << 24) |
+                          (static_cast<uint32_t>(p1[x]) << 16) |
+                          (static_cast<uint32_t>(p2[x]) << 8) | p3[x];
+          prev += diff;
+          std::memcpy(out + 4 * static_cast<size_t>(x), &prev, 4);
+        }
+        out += 4 * static_cast<size_t>(width);
+      }
+    }
+  }
+  return true;
+}
+
 struct ChunkInfo {
   int y;
   const uint8_t* payload;
@@ -489,7 +560,7 @@ struct ChunkInfo {
 struct DecodeJob {
   const std::vector<ChunkInfo>* chunks;
   int lines_per_chunk;
-  int compression;  // 0 NONE, 1 RLE, 2 ZIPS, 3 ZIP, 4 PIZ
+  int compression;  // 0 NONE, 1 RLE, 2 ZIPS, 3 ZIP, 4 PIZ, 5 PXR24
   int width;
   int height;
   int ymin;
@@ -548,6 +619,14 @@ void decode_worker(DecodeJob job) {
       if (!piz_uncompress(piz_ctx, ch.payload, ch.size, job.n_file_channels,
                           job.ch_ptypes, job.width, nrows, raw.data())) {
         job.err->store(6);
+        return;
+      }
+      src = raw.data();
+    } else if (job.compression == 5) {  // PXR24
+      if (!pxr24_uncompress(ch.payload, ch.size, job.n_file_channels,
+                            job.ch_ptypes, job.width, nrows, inflated,
+                            raw.data())) {
+        job.err->store(7);
         return;
       }
       src = raw.data();
@@ -612,7 +691,7 @@ void decode_worker(DecodeJob job) {
 extern "C" {
 
 // Returns 0 on success; 1 bad chunk framing, 2 bad y, 3 short raw chunk,
-// 4 zlib failure, 5 corrupt RLE, 6 corrupt PIZ.
+// 4 zlib failure, 5 corrupt RLE, 6 corrupt PIZ, 7 corrupt PXR24.
 int exr_decode_chunks(const uint8_t* data, long long data_size, long long pos,
                       int n_chunks, int lines_per_chunk, int compression,
                       int width, int height, int ymin, int n_file_channels,

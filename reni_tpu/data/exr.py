@@ -17,10 +17,11 @@ Supported (covers the RENI_HDR dataset and everything typical tooling emits):
 - single-part scanline images, version 2
 - pixel types HALF, FLOAT and UINT; channels R, G, B (A and Y read too)
 - compression: NONE, RLE (1 line/chunk), ZIPS (1), ZIP (16),
-  PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``)
+  PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``),
+  PXR24 (16; lossless for HALF/UINT, 24-bit-rounded for FLOAT by design)
 - increasing-y line order
 
-Unsupported (raises): tiled/deep/multi-part, PXR24/B44/DWA compression.
+Unsupported (raises): tiled/deep/multi-part, B44/DWA compression.
 
 Format reference: the public OpenEXR file-format documentation
 (openexr.com/en/latest/OpenEXRFileLayout.html).
@@ -97,9 +98,88 @@ def _load_native_locked():
 
 _MAGIC = 20000630
 _PIXEL_DTYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
-# NONE, RLE, ZIPS, ZIP, PIZ
-_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}
+# NONE, RLE, ZIPS, ZIP, PIZ, PXR24
+_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
 _COMPRESSION_NAMES = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ", 5: "PXR24"}
+
+# -- PXR24 (compression id 5): per-row byte-planed deltas + deflate --------
+#
+# Each scanline's channel row becomes MSB-first byte planes of the
+# HORIZONTAL first difference of its values (HALF: 16-bit kept, lossless;
+# FLOAT: rounded to a 24-bit float, lossy by design; UINT: 32-bit kept),
+# and the whole chunk deflates. Published format: ImfPxr24Compressor.
+
+
+def _float_to_f24(bits: np.ndarray) -> np.ndarray:
+    """f32 bit patterns -> 24-bit float bit patterns (1s + 8e + 15m),
+    round-to-nearest-even; NaN keeps >=1 significand bit so it does not
+    collapse to infinity."""
+    bits = bits.astype(np.uint32)
+    s = bits & 0x80000000
+    e = bits & 0x7F800000
+    m = bits & 0x007FFFFF
+    inf_nan = e == 0x7F800000
+    nan_m = m >> 9
+    nan24 = (s >> 8) | 0x7F8000 | np.where(m != 0, np.where(nan_m != 0, nan_m, 1), 0)
+    fin24 = (s >> 8) | (((e | m) + ((m >> 7) & 1) + 0x7F) >> 8)
+    return np.where(inf_nan, nan24, fin24).astype(np.uint32)
+
+
+def _pxr24_plane_widths(ptype: int) -> int:
+    return {0: 4, 1: 2, 2: 3}[ptype]  # bytes per value in the plane stack
+
+
+def _pxr24_uncompress(payload: bytes, channels, width: int, nrows: int) -> bytes:
+    data = np.frombuffer(zlib.decompress(payload), dtype=np.uint8)
+    out = []
+    pos = 0
+    for _ in range(nrows):
+        for _, pt, _, _ in channels:
+            nb = _pxr24_plane_widths(pt)
+            planes = []
+            for k in range(nb):
+                planes.append(data[pos : pos + width].astype(np.uint64))
+                pos += width
+            diffs = planes[0]
+            for p in planes[1:]:
+                diffs = (diffs << 8) | p
+            mask = (1 << (8 * nb)) - 1
+            vals = np.cumsum(diffs) & mask
+            if pt == 1:  # HALF, lossless
+                out.append(vals.astype("<u2").tobytes())
+            elif pt == 2:  # FLOAT: f24 bits << 8
+                out.append((vals << 8).astype("<u4").tobytes())
+            else:  # UINT
+                out.append(vals.astype("<u4").tobytes())
+    return b"".join(out)
+
+
+def _pxr24_compress(raw: bytes, channels, width: int, nrows: int) -> bytes:
+    src = memoryview(raw)
+    planes_out = []
+    pos = 0
+    for _ in range(nrows):
+        for _, pt, _, _ in channels:
+            nb = _pxr24_plane_widths(pt)
+            if pt == 1:
+                vals = np.frombuffer(src, "<u2", width, pos).astype(np.uint64)
+                pos += 2 * width
+            elif pt == 2:
+                bits = np.frombuffer(src, "<u4", width, pos)
+                pos += 4 * width
+                vals = _float_to_f24(bits).astype(np.uint64)
+            else:
+                vals = np.frombuffer(src, "<u4", width, pos).astype(np.uint64)
+                pos += 4 * width
+            mask = (1 << (8 * nb)) - 1
+            diffs = np.empty_like(vals)
+            diffs[0] = vals[0]
+            diffs[1:] = (vals[1:] - vals[:-1]) & mask
+            for k in range(nb):
+                planes_out.append(
+                    ((diffs >> (8 * (nb - 1 - k))) & 0xFF).astype(np.uint8)
+                )
+    return zlib.compress(np.concatenate(planes_out).tobytes())
 
 
 def _rle_uncompress(payload: bytes) -> bytes:
@@ -232,12 +312,12 @@ def read(path: str) -> np.ndarray:
 
     channels = _parse_channels(attrs["channels"][1])
     compression = attrs["compression"][1][0]
-    if compression not in (0, 1, 2, 3, 4):
+    if compression not in (0, 1, 2, 3, 4, 5):
         raise ExrError(
             f"{path}: compression {_COMPRESSION_NAMES.get(compression, compression)} "
-            "not supported (NONE/RLE/ZIPS/ZIP/PIZ only) — transcode once with "
-            "any OpenEXR tool, e.g. `oiiotool in.exr --compression zip -o "
-            "out.exr` or `exrcopy -z zip`"
+            "not supported (NONE/RLE/ZIPS/ZIP/PIZ/PXR24 only) — transcode "
+            "once with any OpenEXR tool, e.g. `oiiotool in.exr --compression "
+            "zip -o out.exr` or `exrcopy -z zip`"
         )
     xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = xmax - xmin + 1, ymax - ymin + 1
@@ -321,6 +401,11 @@ def read(path: str) -> np.ndarray:
             raw = np.frombuffer(
                 piz.decompress(payload, ptypes, width, nrows), dtype=np.uint8
             )
+        elif compression == 5:
+            raw = np.frombuffer(
+                _pxr24_uncompress(payload, channels, width, nrows),
+                dtype=np.uint8,
+            )
         else:
             raw = _unpredict_deinterleave(zlib.decompress(payload))
         off = 0
@@ -360,7 +445,9 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
 
     ptype = 1 if pixel_type == "half" else 2
     dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
-    comp = {"NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4}[compression]
+    comp = {"NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5}[
+        compression
+    ]
     lines_per_chunk = _COMPRESSION_LINES[comp]
 
     chan_entries = b""
@@ -401,6 +488,10 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
             from reni_tpu.data import piz
 
             z = piz.compress(raw, [ptype] * len(names), width, nrows)
+            payload = z if len(z) < len(raw) else raw
+        elif comp == 5:
+            chans = [(n, ptype, 1, 1) for n in names]
+            z = _pxr24_compress(raw, chans, width, nrows)
             payload = z if len(z) < len(raw) else raw
         else:
             z = zlib.compress(

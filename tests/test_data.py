@@ -102,7 +102,7 @@ def test_exr_native_decoder_matches_python(tmp_path):
     if exr._load_native() is None:
         pytest.skip("native toolchain unavailable")
     rng = np.random.default_rng(0)
-    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ"):
+    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24"):
         for ptype in ("half", "float"):
             img = (rng.normal(size=(33, 47, 3)) * 4).astype(np.float32)
             # subnormal-half magnitudes and exact zero exercise the
@@ -146,6 +146,31 @@ def test_exr_piz_rle_bit_exact_roundtrip(tmp_path):
                 else img
             )
             np.testing.assert_array_equal(back, ref)
+
+
+def test_exr_pxr24_roundtrip(tmp_path):
+    """PXR24: bit-exact for HALF; FLOAT is 24-bit-rounded BY DESIGN
+    (ImfPxr24Compressor drops 8 mantissa bits), so rel err <= 2^-16 and
+    re-encoding the decoded image is a fixed point."""
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(15)
+    img = rng.lognormal(0.0, 2.0, (37, 23, 3)).astype(np.float32)
+    img[5:9, 2:7] = 0.0
+
+    p = str(tmp_path / "px_half.exr")
+    exr.write(p, img, pixel_type="half", compression="PXR24")
+    np.testing.assert_array_equal(
+        exr.read(p), img.astype(np.float16).astype(np.float32)
+    )
+
+    p = str(tmp_path / "px_float.exr")
+    exr.write(p, img, pixel_type="float", compression="PXR24")
+    back = exr.read(p)
+    rel = np.abs(back - img) / np.maximum(np.abs(img), 1e-30)
+    assert rel.max() <= 2.0**-16
+    exr.write(p, back, pixel_type="float", compression="PXR24")
+    np.testing.assert_array_equal(exr.read(p), back)
 
 
 def test_exr_piz_edge_shapes(tmp_path):
