@@ -70,6 +70,27 @@ def fast_cos(x):
     return (1.0 + r2 * p) * sign
 
 
+def fast_sincos(x):
+    """(sin(x), cos(x)) sharing one range reduction — the backward kernels
+    need both of the SAME pre-activation (activation recompute + the sin'
+    chain-rule factor), and the reduction is ~half of each call's ops, so
+    the pair costs ~16 VPU ops instead of 22."""
+    r, sign = _reduce(x)
+    r2 = r * r
+    ps = ((_S9 * r2 + _S7) * r2 + _S5) * r2 + _S3
+    pc = (((_C10 * r2 + _C8) * r2 + _C6) * r2 + _C4) * r2 + _C2
+    return (r + r * (r2 * ps)) * sign, (1.0 + r2 * pc) * sign
+
+
+def _exact_sincos(x):
+    return jnp.sin(x), jnp.cos(x)
+
+
 def sine_fns(fast: bool):
     """(sin, cos) implementation pair for the ``fast_sine`` knob."""
     return (fast_sin, fast_cos) if fast else (jnp.sin, jnp.cos)
+
+
+def sincos_fns(fast: bool):
+    """Joint (sin, cos) evaluator for the ``fast_sine`` knob."""
+    return fast_sincos if fast else _exact_sincos

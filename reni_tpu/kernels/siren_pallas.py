@@ -152,7 +152,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, g_ref,
     da_ref, db0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref,
-    *, n_hidden, omega0, omega_h, trunk_dtype, sine, cosine,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sincos,
 ):
     b = pl.program_id(0)
     pt = pl.program_id(1)
@@ -170,14 +170,17 @@ def _bwd_kernel(
         db0_ref[...] = jnp.zeros_like(db0_ref)
 
     d = d_ref[0]  # (TM, K_PAD)
-    # recompute forward, stashing pre-activations' cos and activations
+    # recompute forward; the joint sincos shares the range reduction
+    # between the activation and the sin' chain-rule factor
     z0 = _matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]
-    hs = [sine(omega0 * z0)]
-    zs = [z0]
+    h0, c0 = sincos(omega0 * z0)
+    hs = [h0]
+    cs = [c0]
     for i in range(n_hidden):
         z = _matmul(hs[-1], ws_ref[i], trunk_dtype) + bs_ref[i]
-        zs.append(z)
-        hs.append(sine(omega_h * z))
+        h, c = sincos(omega_h * z)
+        hs.append(h)
+        cs.append(c)
 
     g = g_ref[0]  # (TM, C_PAD)
     # final linear
@@ -186,12 +189,12 @@ def _bwd_kernel(
     dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)  # (TM, H)
 
     for i in reversed(range(n_hidden)):
-        dz = dh * (omega_h * cosine(omega_h * zs[i + 1]))
+        dz = dh * (omega_h * cs[i + 1])
         dws_ref[i] += _dot(hs[i], dz, ((0,), (0,)), trunk_dtype)
         dbs_ref[i] += jnp.sum(dz, axis=0)
         dh = _dot(dz, ws_ref[i], ((1,), (1,)), trunk_dtype)
 
-    dz0 = dh * (omega0 * cosine(omega0 * zs[0]))
+    dz0 = dh * (omega0 * cs[0])
     da_ref[0] += _dot(d, dz0, ((0,), (0,)), trunk_dtype)
     db0_ref[0] += jnp.sum(dz0, axis=0)
 
@@ -218,7 +221,7 @@ def _film_fwd_kernel(
 def _film_bwd_kernel(
     d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, g_ref,
     da0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref, dfr_ref, dph_ref,
-    *, n_trunk, hidden, trunk_dtype, sine, cosine,
+    *, n_trunk, hidden, trunk_dtype, sincos,
 ):
     b = pl.program_id(0)
     pt = pl.program_id(1)
@@ -239,8 +242,9 @@ def _film_bwd_kernel(
     d = d_ref[0]
     f = fr_ref[0, 0]
     p = ph_ref[0, 0]
-    # recompute forward, stashing pre-activations and activations
-    pres, hs = [], []
+    # recompute forward; joint sincos shares the range reduction between
+    # the activation and the sin' chain-rule factor
+    pres, hs, coss = [], [], []
     h = None
     for i in range(n_trunk):
         pre = (
@@ -249,9 +253,10 @@ def _film_bwd_kernel(
             else _matmul(h, ws_ref[i - 1], trunk_dtype)
         ) + bs_ref[i]
         lo = i * hidden
-        h = sine(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
+        h, c = sincos(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
         pres.append(pre)
         hs.append(h)
+        coss.append(c)
 
     g = g_ref[0]
     dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
@@ -261,8 +266,7 @@ def _film_bwd_kernel(
     for i in reversed(range(n_trunk)):
         lo = i * hidden
         fi = f[lo : lo + hidden]
-        cos = cosine(fi * pres[i] + p[lo : lo + hidden])
-        dmod = dh * cos  # d/d(f*pre + p)
+        dmod = dh * coss[i]  # d/d(f*pre + p)
         dfr_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod * pres[i], axis=0)
         dph_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod, axis=0)
         dz = dmod * fi
@@ -291,11 +295,12 @@ def _film_calls(
 
     freqs/phases are the *scaled* modulations (freq*15+30 applied outside).
     """
-    from reni_tpu.core.fastmath import sine_fns
+    from reni_tpu.core.fastmath import sincos_fns, sine_fns
 
-    sine, cosine = sine_fns(fast_sine)
+    sine, _ = sine_fns(fast_sine)
     kw = dict(n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype, sine=sine)
-    kw_bwd = dict(kw, cosine=cosine)
+    kw_bwd = {k: v for k, v in kw.items() if k != "sine"}
+    kw_bwd["sincos"] = sincos_fns(fast_sine)
 
     def specs(tm, d_batched):
         d_idx = (lambda b, p: (b, p, 0)) if d_batched else (lambda b, p: (0, p, 0))
@@ -594,14 +599,15 @@ def _siren_calls(
     shared by the single-device custom_vjp (``make_fused_siren``) and the
     shard_map-partitioned variant (``make_fused_siren_sharded``), which
     invokes them per data/pixel shard."""
-    from reni_tpu.core.fastmath import sine_fns
+    from reni_tpu.core.fastmath import sincos_fns, sine_fns
 
-    sine, cosine = sine_fns(fast_sine)
+    sine, _ = sine_fns(fast_sine)
     kw = dict(
         n_hidden=n_hidden, omega0=omega0, omega_h=omega_h,
         trunk_dtype=trunk_dtype, sine=sine,
     )
-    kw_bwd = dict(kw, cosine=cosine)
+    kw_bwd = {k: v for k, v in kw.items() if k != "sine"}
+    kw_bwd["sincos"] = sincos_fns(fast_sine)
 
     def fwd_call(d_pad, a, b0, ws, bs, wf, bf):
         batch, npix = a.shape[0], d_pad.shape[1]
