@@ -182,6 +182,14 @@ def test_fast_sine_accuracy():
     assert s_err.max() < 5e-6, s_err.max()
     assert c_err.max() < 6e-6, c_err.max()
 
+    # the joint evaluator (shared range reduction, used by the kernel
+    # backwards) must agree bitwise with the separate functions
+    from reni_tpu.core.fastmath import fast_sincos
+
+    s2, c2 = fast_sincos(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(fast_sin(jnp.asarray(x))))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(fast_cos(jnp.asarray(x))))
+
 
 def test_fast_sine_model_close_and_differentiable():
     """fast_sine=True decodes within a few 1e-5 of the exact path and its
