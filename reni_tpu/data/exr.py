@@ -15,13 +15,15 @@ the no-compiler fallback and the parity oracle
 
 Supported (covers the RENI_HDR dataset and everything typical tooling emits):
 - single-part scanline images, version 2
+- single-part TILED images (ONE_LEVEL, and the level-0 plane of MIPMAP
+  pyramids; Python decode path)
 - pixel types HALF, FLOAT and UINT; channels R, G, B (A and Y read too)
 - compression: NONE, RLE (1 line/chunk), ZIPS (1), ZIP (16),
   PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``),
   PXR24 (16; lossless for HALF/UINT, 24-bit-rounded for FLOAT by design)
 - increasing-y line order
 
-Unsupported (raises): tiled/deep/multi-part, B44/DWA compression.
+Unsupported (raises): deep/multi-part, RIPMAP tiling, B44/DWA compression.
 
 Format reference: the public OpenEXR file-format documentation
 (openexr.com/en/latest/OpenEXRFileLayout.html).
@@ -285,6 +287,46 @@ def _predict_interleave(data: np.ndarray) -> bytes:
     return d.astype(np.uint8).tobytes()
 
 
+def _decode_payload(payload, compression, channels, width, nrows):
+    """One compressed chunk/tile payload -> scanline-interleaved raw bytes
+    (per row, each channel's run in file order)."""
+    raw_size = nrows * width * sum(
+        np.dtype(_PIXEL_DTYPES[pt]).itemsize for _, pt, _, _ in channels
+    )
+    if compression == 0 or len(payload) >= raw_size:
+        # uncompressed, or the writer stored the chunk raw (any compressor
+        # whose output would not shrink)
+        return np.frombuffer(payload, dtype=np.uint8)
+    if compression == 1:
+        return _unpredict_deinterleave(_rle_uncompress(payload))
+    if compression == 4:
+        from reni_tpu.data import piz
+
+        ptypes = [pt for _, pt, _, _ in channels]
+        return np.frombuffer(
+            piz.decompress(payload, ptypes, width, nrows), dtype=np.uint8
+        )
+    if compression == 5:
+        return np.frombuffer(
+            _pxr24_uncompress(payload, channels, width, nrows), dtype=np.uint8
+        )
+    return _unpredict_deinterleave(zlib.decompress(payload))
+
+
+def _select_channels(ch_names):
+    """(out_names, replicate_y): RGB[A] by name, else a single luminance
+    channel replicated to 3, else file order."""
+    upper = {n.upper(): n for n in ch_names}
+    if all(c in upper for c in "RGB"):
+        out_names = [upper["R"], upper["G"], upper["B"]]
+        if "A" in upper:
+            out_names.append(upper["A"])
+        return out_names, False
+    if "Y" in upper:
+        return [upper["Y"]], True
+    return list(ch_names), False
+
+
 def read(path: str) -> np.ndarray:
     """Read an EXR file -> float32 array (H, W, C) with channels ordered
     R, G, B[, A] (or a single luminance channel replicated to 3)."""
@@ -293,8 +335,8 @@ def read(path: str) -> np.ndarray:
     magic, version = struct.unpack_from("<ii", data, 0)
     if magic != _MAGIC:
         raise ExrError(f"{path}: not an EXR file")
-    if version & 0x200 or version & 0x800 or version & 0x1000:
-        raise ExrError(f"{path}: tiled/deep/multi-part EXR not supported")
+    if version & 0x800 or version & 0x1000:
+        raise ExrError(f"{path}: deep/multi-part EXR not supported")
 
     pos = 8
     attrs = {}
@@ -324,6 +366,11 @@ def read(path: str) -> np.ndarray:
     if any(xs != 1 or ys != 1 for _, _, xs, ys in channels):
         raise ExrError(f"{path}: subsampled channels not supported")
 
+    if version & 0x200:  # single-part tiled image
+        return _read_tiled(
+            path, data, pos, attrs, channels, compression, width, height
+        )
+
     lines_per_chunk = _COMPRESSION_LINES[compression]
     n_chunks = -(-height // lines_per_chunk)
     # skip the offset table; chunks follow in order for increasing-y files
@@ -332,19 +379,7 @@ def read(path: str) -> np.ndarray:
     ch_dtypes = [np.dtype(_PIXEL_DTYPES[pt]).newbyteorder("<") for _, pt, _, _ in channels]
     ch_names = [c[0] for c in channels]
 
-    # output channel selection, shared by both decode paths: RGB[A] by name,
-    # else a single luminance channel replicated to 3, else file order
-    upper = {n.upper(): n for n in ch_names}
-    replicate_y = False
-    if all(c in upper for c in "RGB"):
-        out_names = [upper["R"], upper["G"], upper["B"]]
-        if "A" in upper:
-            out_names.append(upper["A"])
-    elif "Y" in upper:
-        out_names = [upper["Y"]]
-        replicate_y = True
-    else:
-        out_names = ch_names
+    out_names, replicate_y = _select_channels(ch_names)
     out_index = {n: i for i, n in enumerate(out_names)}
 
     lib = _load_native()
@@ -387,27 +422,7 @@ def read(path: str) -> np.ndarray:
         pos += size
         row0 = y - ymin
         nrows = min(lines_per_chunk, height - row0)
-        raw_size = nrows * width * sum(d.itemsize for d in ch_dtypes)
-        if compression == 0 or size >= raw_size:
-            # uncompressed, or the writer stored the chunk raw (any
-            # compressor whose output would not shrink)
-            raw = np.frombuffer(payload, dtype=np.uint8)
-        elif compression == 1:
-            raw = _unpredict_deinterleave(_rle_uncompress(payload))
-        elif compression == 4:
-            from reni_tpu.data import piz
-
-            ptypes = [pt for _, pt, _, _ in channels]
-            raw = np.frombuffer(
-                piz.decompress(payload, ptypes, width, nrows), dtype=np.uint8
-            )
-        elif compression == 5:
-            raw = np.frombuffer(
-                _pxr24_uncompress(payload, channels, width, nrows),
-                dtype=np.uint8,
-            )
-        else:
-            raw = _unpredict_deinterleave(zlib.decompress(payload))
+        raw = _decode_payload(payload, compression, channels, width, nrows)
         off = 0
         for r in range(nrows):
             for name, dt in zip(ch_names, ch_dtypes):
@@ -421,11 +436,101 @@ def read(path: str) -> np.ndarray:
     return np.stack([planes[n] for n in out_names], axis=-1)
 
 
+def _mip_levels(width: int, height: int, round_up: bool) -> int:
+    """Number of mipmap levels (ImfTiledMisc calculateNumLevels)."""
+    import math
+
+    m = max(width, height)
+    lv = math.ceil(math.log2(m)) if round_up else math.floor(math.log2(m))
+    return int(lv) + 1
+
+
+def _level_size(s: int, level: int, round_up: bool) -> int:
+    d = s / (1 << level)
+    return max(1, int(-(-d // 1)) if round_up else int(d))
+
+
+def _read_tiled(path, data, pos, attrs, channels, compression, width, height):
+    """Single-part tiled image (version bit 0x200): ONE_LEVEL or the level-0
+    plane of a MIPMAP pyramid (the lower mips are redundant with the
+    full-resolution data; RIPMAP is rejected). Each tile chunk is
+    (dx, dy, lx, ly, size, payload) with the payload compressed exactly like
+    a scanline chunk of the tile's dimensions."""
+    if "tiles" not in attrs:
+        raise ExrError(f"{path}: tiled flag set but no 'tiles' attribute")
+    txs, tys, mode = struct.unpack_from("<IIB", attrs["tiles"][1], 0)
+    level_mode = mode & 0xF
+    round_up = (mode >> 4) == 1
+    if level_mode == 2:
+        raise ExrError(f"{path}: RIPMAP tiled EXR not supported")
+    if level_mode == 0:
+        n_offsets = (-(-width // txs)) * (-(-height // tys))
+    else:  # MIPMAP: offsets for every level's tile grid
+        n_offsets = 0
+        for lv in range(_mip_levels(width, height, round_up)):
+            lw = _level_size(width, lv, round_up)
+            lh = _level_size(height, lv, round_up)
+            n_offsets += (-(-lw // txs)) * (-(-lh // tys))
+    offsets = struct.unpack_from(f"<{n_offsets}q", data, pos)
+
+    ch_names = [c[0] for c in channels]
+    ch_dtypes = [
+        np.dtype(_PIXEL_DTYPES[pt]).newbyteorder("<") for _, pt, _, _ in channels
+    ]
+    planes = {n: np.empty((height, width), dtype=np.float32) for n in ch_names}
+    for off in offsets:
+        dx, dy, lx, ly, size = struct.unpack_from("<5i", data, off)
+        if lx or ly:
+            continue  # lower mip level: redundant with level 0
+        payload = data[off + 20 : off + 20 + size]
+        x0, y0 = dx * txs, dy * tys
+        tw = min(txs, width - x0)
+        th = min(tys, height - y0)
+        if tw <= 0 or th <= 0:
+            raise ExrError(f"{path}: tile ({dx},{dy}) outside the data window")
+        raw = _decode_payload(payload, compression, channels, tw, th)
+        offb = 0
+        for r in range(th):
+            for name, dt in zip(ch_names, ch_dtypes):
+                nbytes = tw * dt.itemsize
+                line = np.frombuffer(raw[offb : offb + nbytes].tobytes(), dtype=dt)
+                planes[name][y0 + r, x0 : x0 + tw] = line.astype(np.float32)
+                offb += nbytes
+
+    out_names, replicate_y = _select_channels(ch_names)
+    if replicate_y:
+        return np.repeat(planes[out_names[0]][..., None], 3, axis=-1)
+    return np.stack([planes[n] for n in out_names], axis=-1)
+
+
 def _attr(name: str, atype: str, payload: bytes) -> bytes:
     return (
         name.encode() + b"\0" + atype.encode() + b"\0"
         + struct.pack("<i", len(payload)) + payload
     )
+
+
+def _compress_payload(
+    raw: bytes, comp: int, ptype: int, names, width: int, nrows: int
+) -> bytes:
+    """Compress one chunk/tile of scanline-interleaved raw bytes; falls back
+    to storing raw when the compressor does not shrink (the reader treats
+    payload >= raw size as uncompressed)."""
+    if comp == 0:
+        return raw
+    if comp == 1:
+        z = _rle_compress(_predict_interleave(np.frombuffer(raw, np.uint8)))
+    elif comp == 4:
+        from reni_tpu.data import piz
+
+        z = piz.compress(raw, [ptype] * len(names), width, nrows)
+    elif comp == 5:
+        z = _pxr24_compress(
+            raw, [(n, ptype, 1, 1) for n in names], width, nrows
+        )
+    else:
+        z = zlib.compress(_predict_interleave(np.frombuffer(raw, np.uint8)))
+    return z if len(z) < len(raw) else raw
 
 
 def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: str = "ZIP"):
@@ -477,27 +582,7 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
             for ci in range(len(names)):
                 lines.append(img[r, :, ci].astype(dt).tobytes())
         raw = b"".join(lines)
-        if comp == 0:
-            payload = raw
-        elif comp == 1:
-            z = _rle_compress(
-                _predict_interleave(np.frombuffer(raw, dtype=np.uint8))
-            )
-            payload = z if len(z) < len(raw) else raw
-        elif comp == 4:
-            from reni_tpu.data import piz
-
-            z = piz.compress(raw, [ptype] * len(names), width, nrows)
-            payload = z if len(z) < len(raw) else raw
-        elif comp == 5:
-            chans = [(n, ptype, 1, 1) for n in names]
-            z = _pxr24_compress(raw, chans, width, nrows)
-            payload = z if len(z) < len(raw) else raw
-        else:
-            z = zlib.compress(
-                _predict_interleave(np.frombuffer(raw, dtype=np.uint8))
-            )
-            payload = z if len(z) < len(raw) else raw
+        payload = _compress_payload(raw, comp, ptype, names, width, nrows)
         chunks.append((row0, payload))
 
     offset_table_pos = len(header)
@@ -511,4 +596,83 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
     with open(path, "wb") as f:
         f.write(header)
         f.write(struct.pack(f"<{n_chunks}q", *offsets))
+        f.write(body)
+
+
+def write_tiled(
+    path: str,
+    img: np.ndarray,
+    *,
+    tile: tuple[int, int] = (64, 64),
+    pixel_type: str = "half",
+    compression: str = "ZIP",
+):
+    """Write (H, W, 3|1) float array as a single-part ONE_LEVEL tiled EXR
+    (version bit 0x200). Each tile compresses like a scanline chunk of the
+    tile's dimensions; edge tiles are clamped. Primarily the fixture
+    generator for the tiled read path (no OpenEXR oracle in this
+    environment)."""
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    height, width, nch = img.shape
+    if nch == 1:
+        names = ["Y"]
+    elif nch == 3:
+        names = ["B", "G", "R"]  # EXR channels are stored name-sorted
+        img = img[..., ::-1]
+    else:
+        raise ExrError("write_tiled supports 1 or 3 channels")
+
+    ptype = 1 if pixel_type == "half" else 2
+    dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
+    comp = {"NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5}[
+        compression
+    ]
+    txs, tys = int(tile[1]), int(tile[0])  # tile=(rows, cols) -> x, y sizes
+
+    chan_entries = b""
+    for n in names:
+        chan_entries += n.encode() + b"\0" + struct.pack("<i4xii", ptype, 1, 1)
+    chan_entries += b"\0"
+
+    header = struct.pack("<ii", _MAGIC, 2 | 0x200)
+    header += _attr("channels", "chlist", chan_entries)
+    header += _attr("compression", "compression", bytes([comp]))
+    box = struct.pack("<4i", 0, 0, width - 1, height - 1)
+    header += _attr("dataWindow", "box2i", box)
+    header += _attr("displayWindow", "box2i", box)
+    header += _attr("lineOrder", "lineOrder", b"\0")
+    header += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+    header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    # tiledesc: xSize, ySize, mode (ONE_LEVEL=0, ROUND_DOWN=0)
+    header += _attr("tiles", "tiledesc", struct.pack("<IIB", txs, tys, 0))
+    header += b"\0"
+
+    nx, ny = -(-width // txs), -(-height // tys)
+    chunks = []
+    for dy in range(ny):
+        for dx in range(nx):
+            x0, y0 = dx * txs, dy * tys
+            tw, th = min(txs, width - x0), min(tys, height - y0)
+            lines = []
+            for r in range(y0, y0 + th):
+                for ci in range(len(names)):
+                    lines.append(img[r, x0 : x0 + tw, ci].astype(dt).tobytes())
+            raw = b"".join(lines)
+            payload = _compress_payload(raw, comp, ptype, names, tw, th)
+            chunks.append((dx, dy, payload))
+
+    offset_table_pos = len(header)
+    data_pos = offset_table_pos + 8 * len(chunks)
+    offsets = []
+    body = b""
+    for dx, dy, payload in chunks:
+        offsets.append(data_pos + len(body))
+        body += struct.pack("<5i", dx, dy, 0, 0, len(payload)) + payload
+
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(struct.pack(f"<{len(chunks)}q", *offsets))
         f.write(body)

@@ -173,6 +173,22 @@ def test_exr_pxr24_roundtrip(tmp_path):
     np.testing.assert_array_equal(exr.read(p), back)
 
 
+def test_exr_tiled_roundtrip(tmp_path):
+    """Single-part tiled images (version bit 0x200): every compression,
+    non-divisible tile grids (edge tiles clamp), bit-exact."""
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(16)
+    img = rng.lognormal(0.0, 2.0, (67, 141, 3)).astype(np.float32)
+    img[10:20, 5:15] = 0.0
+    ref = img.astype(np.float16).astype(np.float32)
+    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24"):
+        for tile in ((32, 32), (16, 64)):
+            p = str(tmp_path / f"tiled_{comp}.exr")
+            exr.write_tiled(p, img, tile=tile, pixel_type="half", compression=comp)
+            np.testing.assert_array_equal(exr.read(p), ref)
+
+
 def test_exr_piz_edge_shapes(tmp_path):
     """Degenerate lattices: all-zero (empty bitmap), constant, 1x1, single
     row/column (wavelet levels collapse)."""
