@@ -551,6 +551,94 @@ bool pxr24_uncompress(const uint8_t* payload, size_t size, int n_channels,
   return true;
 }
 
+// ---- B44 / B44A (compression ids 6/7) -------------------------------------
+//
+// HALF channels as 4x4 blocks packed to 14 bytes (16-bit first value,
+// 6-bit shift, fifteen 6-bit modular deltas over a fixed prediction
+// chain) or 3 bytes for B44A's flat blocks; non-HALF channels raw.
+// Reference implementation with the chain/bit layout commented:
+// reni_tpu/data/b44.py (the two are pinned bit-identical).
+
+inline uint16_t b44_from_ordered(uint32_t t) {
+  return (t & 0x8000) ? static_cast<uint16_t>(t & 0x7FFF)
+                      : static_cast<uint16_t>(~t);
+}
+
+void b44_unpack14(const uint8_t* b, uint16_t* s) {
+  uint32_t v[16];
+  v[0] = (static_cast<uint32_t>(b[0]) << 8) | b[1];
+  const uint32_t shift = b[2] >> 2;
+  const uint32_t bias = 0x20u << shift;
+  auto link = [&](int dst, int pred, uint32_t code) {
+    v[dst] = (v[pred] + (code << shift) - bias) & 0xFFFF;
+  };
+  link(4, 0, ((b[2] << 4) | (b[3] >> 4)) & 0x3F);
+  link(8, 4, ((b[3] << 2) | (b[4] >> 6)) & 0x3F);
+  link(12, 8, b[4] & 0x3F);
+  link(1, 0, b[5] >> 2);
+  link(5, 4, ((b[5] << 4) | (b[6] >> 4)) & 0x3F);
+  link(9, 8, ((b[6] << 2) | (b[7] >> 6)) & 0x3F);
+  link(13, 12, b[7] & 0x3F);
+  link(2, 1, b[8] >> 2);
+  link(6, 5, ((b[8] << 4) | (b[9] >> 4)) & 0x3F);
+  link(10, 9, ((b[9] << 2) | (b[10] >> 6)) & 0x3F);
+  link(14, 13, b[10] & 0x3F);
+  link(3, 2, b[11] >> 2);
+  link(7, 6, ((b[11] << 4) | (b[12] >> 4)) & 0x3F);
+  link(11, 10, ((b[12] << 2) | (b[13] >> 6)) & 0x3F);
+  link(15, 14, b[13] & 0x3F);
+  for (int i = 0; i < 16; ++i) s[i] = b44_from_ordered(v[i]);
+}
+
+bool b44_uncompress(const uint8_t* payload, size_t size, int n_channels,
+                    const int32_t* ptypes, int width, int nrows,
+                    uint8_t* out /* scanline-interleaved */) {
+  std::vector<size_t> ch_off(n_channels);
+  size_t row_bytes = 0;
+  for (int c = 0; c < n_channels; ++c) {
+    ch_off[c] = row_bytes;
+    row_bytes += static_cast<size_t>(width) * (ptypes[c] == 1 ? 2 : 4);
+  }
+  size_t pos = 0;
+  for (int c = 0; c < n_channels; ++c) {
+    if (ptypes[c] != 1) {  // UINT / FLOAT: raw plane copy
+      size_t n = static_cast<size_t>(nrows) * width * 4;
+      if (pos + n > size) return false;
+      for (int r = 0; r < nrows; ++r)
+        std::memcpy(out + static_cast<size_t>(r) * row_bytes + ch_off[c],
+                    payload + pos + static_cast<size_t>(r) * width * 4,
+                    static_cast<size_t>(width) * 4);
+      pos += n;
+      continue;
+    }
+    const int bh = (nrows + 3) / 4, bw = (width + 3) / 4;
+    for (int by = 0; by < bh; ++by) {
+      for (int bx = 0; bx < bw; ++bx) {
+        uint16_t s[16];
+        if (pos + 3 > size) return false;
+        if (payload[pos + 2] >= (13 << 2)) {  // flat 3-byte block (B44A)
+          uint16_t v = b44_from_ordered(
+              (static_cast<uint32_t>(payload[pos]) << 8) | payload[pos + 1]);
+          for (int i = 0; i < 16; ++i) s[i] = v;
+          pos += 3;
+        } else {
+          if (pos + 14 > size) return false;
+          b44_unpack14(payload + pos, s);
+          pos += 14;
+        }
+        const int ny = nrows - by * 4 < 4 ? nrows - by * 4 : 4;
+        const int nx = width - bx * 4 < 4 ? width - bx * 4 : 4;
+        for (int i = 0; i < ny; ++i) {
+          uint8_t* dst = out + static_cast<size_t>(by * 4 + i) * row_bytes +
+                         ch_off[c] + static_cast<size_t>(bx) * 4 * 2;
+          std::memcpy(dst, &s[i * 4], static_cast<size_t>(nx) * 2);
+        }
+      }
+    }
+  }
+  return pos <= size;
+}
+
 struct ChunkInfo {
   int y;
   const uint8_t* payload;
@@ -560,7 +648,7 @@ struct ChunkInfo {
 struct DecodeJob {
   const std::vector<ChunkInfo>* chunks;
   int lines_per_chunk;
-  int compression;  // 0 NONE, 1 RLE, 2 ZIPS, 3 ZIP, 4 PIZ, 5 PXR24
+  int compression;  // 0 NONE, 1 RLE, 2 ZIPS, 3 ZIP, 4 PIZ, 5 PXR24, 6/7 B44[A]
   int width;
   int height;
   int ymin;
@@ -630,6 +718,13 @@ void decode_worker(DecodeJob job) {
         return;
       }
       src = raw.data();
+    } else if (job.compression == 6 || job.compression == 7) {  // B44 / B44A
+      if (!b44_uncompress(ch.payload, ch.size, job.n_file_channels,
+                          job.ch_ptypes, job.width, nrows, raw.data())) {
+        job.err->store(8);
+        return;
+      }
+      src = raw.data();
     } else {  // ZIPS / ZIP
       uLongf dest_len = raw_size;
       int rc = uncompress(inflated.data(), &dest_len, ch.payload,
@@ -691,7 +786,8 @@ void decode_worker(DecodeJob job) {
 extern "C" {
 
 // Returns 0 on success; 1 bad chunk framing, 2 bad y, 3 short raw chunk,
-// 4 zlib failure, 5 corrupt RLE, 6 corrupt PIZ, 7 corrupt PXR24.
+// 4 zlib failure, 5 corrupt RLE, 6 corrupt PIZ, 7 corrupt PXR24,
+// 8 corrupt B44.
 int exr_decode_chunks(const uint8_t* data, long long data_size, long long pos,
                       int n_chunks, int lines_per_chunk, int compression,
                       int width, int height, int ymin, int n_file_channels,

@@ -100,9 +100,12 @@ def _load_native_locked():
 
 _MAGIC = 20000630
 _PIXEL_DTYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
-# NONE, RLE, ZIPS, ZIP, PIZ, PXR24
-_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
-_COMPRESSION_NAMES = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ", 5: "PXR24"}
+# NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A
+_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}
+_COMPRESSION_NAMES = {
+    0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ", 5: "PXR24",
+    6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB",
+}
 
 # -- PXR24 (compression id 5): per-row byte-planed deltas + deflate --------
 #
@@ -310,6 +313,13 @@ def _decode_payload(payload, compression, channels, width, nrows):
         return np.frombuffer(
             _pxr24_uncompress(payload, channels, width, nrows), dtype=np.uint8
         )
+    if compression in (6, 7):
+        from reni_tpu.data import b44
+
+        ptypes = [pt for _, pt, _, _ in channels]
+        return np.frombuffer(
+            b44.decompress(payload, ptypes, width, nrows), dtype=np.uint8
+        )
     return _unpredict_deinterleave(zlib.decompress(payload))
 
 
@@ -354,12 +364,12 @@ def read(path: str) -> np.ndarray:
 
     channels = _parse_channels(attrs["channels"][1])
     compression = attrs["compression"][1][0]
-    if compression not in (0, 1, 2, 3, 4, 5):
+    if compression not in (0, 1, 2, 3, 4, 5, 6, 7):
         raise ExrError(
             f"{path}: compression {_COMPRESSION_NAMES.get(compression, compression)} "
-            "not supported (NONE/RLE/ZIPS/ZIP/PIZ/PXR24 only) — transcode "
-            "once with any OpenEXR tool, e.g. `oiiotool in.exr --compression "
-            "zip -o out.exr` or `exrcopy -z zip`"
+            "not supported (NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A only) — "
+            "transcode once with any OpenEXR tool, e.g. `oiiotool in.exr "
+            "--compression zip -o out.exr` or `exrcopy -z zip`"
         )
     xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = xmax - xmin + 1, ymax - ymin + 1
@@ -528,6 +538,10 @@ def _compress_payload(
         z = _pxr24_compress(
             raw, [(n, ptype, 1, 1) for n in names], width, nrows
         )
+    elif comp in (6, 7):
+        from reni_tpu.data import b44
+
+        z = b44.compress(raw, [ptype] * len(names), width, nrows, comp == 7)
     else:
         z = zlib.compress(_predict_interleave(np.frombuffer(raw, np.uint8)))
     return z if len(z) < len(raw) else raw
@@ -535,7 +549,7 @@ def _compress_payload(
 
 def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: str = "ZIP"):
     """Write (H, W, 3|1) float array as a scanline EXR (RGB or Y).
-    Compressions: NONE, RLE, ZIPS, ZIP, PIZ."""
+    Compressions: NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A."""
     img = np.asarray(img, dtype=np.float32)
     if img.ndim == 2:
         img = img[..., None]
@@ -550,9 +564,10 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
 
     ptype = 1 if pixel_type == "half" else 2
     dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
-    comp = {"NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5}[
-        compression
-    ]
+    comp = {
+        "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
+        "B44": 6, "B44A": 7,
+    }[compression]
     lines_per_chunk = _COMPRESSION_LINES[comp]
 
     chan_entries = b""
@@ -626,9 +641,10 @@ def write_tiled(
 
     ptype = 1 if pixel_type == "half" else 2
     dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
-    comp = {"NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5}[
-        compression
-    ]
+    comp = {
+        "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
+        "B44": 6, "B44A": 7,
+    }[compression]
     txs, tys = int(tile[1]), int(tile[0])  # tile=(rows, cols) -> x, y sizes
 
     chan_entries = b""

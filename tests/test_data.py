@@ -102,7 +102,7 @@ def test_exr_native_decoder_matches_python(tmp_path):
     if exr._load_native() is None:
         pytest.skip("native toolchain unavailable")
     rng = np.random.default_rng(0)
-    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24"):
+    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24", "B44", "B44A"):
         for ptype in ("half", "float"):
             img = (rng.normal(size=(33, 47, 3)) * 4).astype(np.float32)
             # subnormal-half magnitudes and exact zero exercise the
@@ -146,6 +146,64 @@ def test_exr_piz_rle_bit_exact_roundtrip(tmp_path):
                 else img
             )
             np.testing.assert_array_equal(back, ref)
+
+
+def test_exr_b44_roundtrip(tmp_path):
+    """B44/B44A: lossy 4x4 block quantization by design (6-bit deltas), but
+    decode(encode(x)) must be a fixed point, flat blocks must be exact
+    under B44A's 3-byte path, and float channels pass through raw."""
+    from reni_tpu.data import b44, exr
+
+    rng = np.random.default_rng(17)
+    img = rng.lognormal(0.0, 2.0, (37, 23, 3)).astype(np.float32)
+    img[4:8, 4:8] = 4.75  # one full 4x4 block flat -> B44A 3-byte path
+
+    for comp in ("B44", "B44A"):
+        p = str(tmp_path / f"{comp}.exr")
+        exr.write(p, img, pixel_type="half", compression=comp)
+        back = exr.read(p)
+        half = img.astype(np.float16).astype(np.float32)
+        # block-local quantization: bounded relative error, flat area exact
+        # (sigma-2 lognormal blocks span ~6 octaves -> ~25% worst-case;
+        # the system OpenEXR encoder measures the identical error here)
+        rel = np.abs(back - half) / np.maximum(np.abs(half), 1e-3)
+        assert rel.max() < 0.3, comp
+        # a fully-flat block is exact (as the block max, quantized at
+        # offset zero) under both the 14-byte and the 3-byte encodings
+        np.testing.assert_array_equal(back[4:8, 4:8], half[4:8, 4:8])
+        # decoded image re-encodes to itself (quantization is idempotent)
+        exr.write(p, back, pixel_type="half", compression=comp)
+        np.testing.assert_array_equal(exr.read(p), back)
+
+    # FLOAT channels are stored raw inside B44 chunks: lossless
+    p = str(tmp_path / "b44_float.exr")
+    exr.write(p, img, pixel_type="float", compression="B44")
+    np.testing.assert_array_equal(exr.read(p), img)
+
+    # Inf/NaN flush through the ordered-uint16 transform (the published
+    # behaviour: 0x7c00-exponent halves map to 0x8000 == 0.0 before the
+    # delta quantization, so they come back finite and near zero — not
+    # exactly zero, since neighbours' 6-bit deltas perturb the block;
+    # verified identical to the system OpenEXR encoder's output)
+    bad = img.copy()
+    bad[0, 0] = np.inf
+    bad[0, 1] = np.nan
+    p = str(tmp_path / "b44_nan.exr")
+    exr.write(p, bad, pixel_type="half", compression="B44")
+    back = exr.read(p)
+    assert np.isfinite(back).all()
+    assert abs(back[0, 0, 0]) < 1e-3 and abs(back[0, 1, 0]) < 1e-3
+
+    # unit pin: the ordered-uint16 map is a monotonic bijection on finite
+    # halves (sorting halves == sorting their transforms); -0 excluded
+    # since it ties +0 in float but not in the transform
+    h = np.arange(65536, dtype=np.uint16)
+    h = h[((h & 0x7C00) != 0x7C00) & (h != 0x8000)]
+    t = b44._to_ordered(h)
+    np.testing.assert_array_equal(b44._from_ordered(t), h)
+    f = h.view(np.float16).astype(np.float32)
+    order = np.argsort(f)
+    assert (np.diff(t.astype(np.int64)[order]) > 0).all()
 
 
 def test_exr_pxr24_roundtrip(tmp_path):

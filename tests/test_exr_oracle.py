@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
     not oracle.available(), reason="system OpenEXR (libopenexr-dev) not present"
 )
 
-SUPPORTED = ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24")
+SUPPORTED = ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24", "B44", "B44A")
 
 
 @pytest.fixture(scope="module")
@@ -60,7 +60,7 @@ def test_encode_accepted_by_openexr(tmp_path, img, comp, pt):
 
 
 @pytest.mark.parametrize("layout", ["tiled", "mipmap"])
-@pytest.mark.parametrize("comp", ["NONE", "ZIP", "PIZ"])
+@pytest.mark.parametrize("comp", ["NONE", "ZIP", "PIZ", "B44A"])
 def test_tiled_decode_matches_openexr(tmp_path, img, layout, comp):
     """Tiled single-part files (ONE_LEVEL and MIPMAP level 0)."""
     p = str(tmp_path / f"{layout}_{comp}.exr")
