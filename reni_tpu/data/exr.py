@@ -20,10 +20,11 @@ Supported (covers the RENI_HDR dataset and everything typical tooling emits):
 - pixel types HALF, FLOAT and UINT; channels R, G, B (A and Y read too)
 - compression: NONE, RLE (1 line/chunk), ZIPS (1), ZIP (16),
   PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``),
-  PXR24 (16; lossless for HALF/UINT, 24-bit-rounded for FLOAT by design)
+  PXR24 (16; lossless for HALF/UINT, 24-bit-rounded for FLOAT by design),
+  B44/B44A (32; lossy 4x4-block HALF packing; codec in ``data/b44.py``)
 - increasing-y line order
 
-Unsupported (raises): deep/multi-part, RIPMAP tiling, B44/DWA compression.
+Unsupported (raises): deep/multi-part, RIPMAP tiling, DWAA/DWAB compression.
 
 Format reference: the public OpenEXR file-format documentation
 (openexr.com/en/latest/OpenEXRFileLayout.html).
