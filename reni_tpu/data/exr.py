@@ -21,10 +21,12 @@ Supported (covers the RENI_HDR dataset and everything typical tooling emits):
 - compression: NONE, RLE (1 line/chunk), ZIPS (1), ZIP (16),
   PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``),
   PXR24 (16; lossless for HALF/UINT, 24-bit-rounded for FLOAT by design),
-  B44/B44A (32; lossy 4x4-block HALF packing; codec in ``data/b44.py``)
+  B44/B44A (32; lossy 4x4-block HALF packing; codec in ``data/b44.py``),
+  DWAA (32) / DWAB (256; lossy JPEG-style DCT; codec in ``data/dwa.py``,
+  Python path — decode pinned bit-exact against libOpenEXR)
 - increasing-y line order
 
-Unsupported (raises): deep/multi-part, RIPMAP tiling, DWAA/DWAB compression.
+Unsupported (raises): deep/multi-part, RIPMAP tiling.
 
 Format reference: the public OpenEXR file-format documentation
 (openexr.com/en/latest/OpenEXRFileLayout.html).
@@ -101,8 +103,8 @@ def _load_native_locked():
 
 _MAGIC = 20000630
 _PIXEL_DTYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
-# NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A
-_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}
+# NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A, DWAA, DWAB
+_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32, 8: 32, 9: 256}
 _COMPRESSION_NAMES = {
     0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ", 5: "PXR24",
     6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB",
@@ -321,6 +323,13 @@ def _decode_payload(payload, compression, channels, width, nrows):
         return np.frombuffer(
             b44.decompress(payload, ptypes, width, nrows), dtype=np.uint8
         )
+    if compression in (8, 9):
+        from reni_tpu.data import dwa
+
+        named = [(n, pt) for n, pt, _, _ in channels]
+        return np.frombuffer(
+            dwa.decompress(payload, named, width, nrows), dtype=np.uint8
+        )
     return _unpredict_deinterleave(zlib.decompress(payload))
 
 
@@ -365,12 +374,12 @@ def read(path: str) -> np.ndarray:
 
     channels = _parse_channels(attrs["channels"][1])
     compression = attrs["compression"][1][0]
-    if compression not in (0, 1, 2, 3, 4, 5, 6, 7):
+    if compression not in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
         raise ExrError(
-            f"{path}: compression {_COMPRESSION_NAMES.get(compression, compression)} "
-            "not supported (NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A only) — "
-            "transcode once with any OpenEXR tool, e.g. `oiiotool in.exr "
-            "--compression zip -o out.exr` or `exrcopy -z zip`"
+            f"{path}: unknown compression id {compression} (ids 0-9 — "
+            "NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB — are all "
+            "supported); transcode once with any OpenEXR tool, e.g. "
+            "`oiiotool in.exr --compression zip -o out.exr`"
         )
     xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
     width, height = xmax - xmin + 1, ymax - ymin + 1
@@ -393,7 +402,9 @@ def read(path: str) -> np.ndarray:
     out_names, replicate_y = _select_channels(ch_names)
     out_index = {n: i for i, n in enumerate(out_names)}
 
-    lib = _load_native()
+    # DWA is decoded by the Python codec (data/dwa.py): keep it off the
+    # native path, whose dispatch would misread the payload as ZIP/raw.
+    lib = _load_native() if compression not in (8, 9) else None
     if lib is not None:
         out = np.empty((height, width, len(out_names)), dtype=np.float32)
         ptypes = np.asarray([pt for _, pt, _, _ in channels], dtype=np.int32)
@@ -543,6 +554,10 @@ def _compress_payload(
         from reni_tpu.data import b44
 
         z = b44.compress(raw, [ptype] * len(names), width, nrows, comp == 7)
+    elif comp in (8, 9):
+        from reni_tpu.data import dwa
+
+        z = dwa.compress(raw, [(n, ptype) for n in names], width, nrows)
     else:
         z = zlib.compress(_predict_interleave(np.frombuffer(raw, np.uint8)))
     return z if len(z) < len(raw) else raw
@@ -567,7 +582,7 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
     dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
     comp = {
         "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
-        "B44": 6, "B44A": 7,
+        "B44": 6, "B44A": 7, "DWAA": 8, "DWAB": 9,
     }[compression]
     lines_per_chunk = _COMPRESSION_LINES[comp]
 
@@ -644,7 +659,7 @@ def write_tiled(
     dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
     comp = {
         "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
-        "B44": 6, "B44A": 7,
+        "B44": 6, "B44A": 7, "DWAA": 8, "DWAB": 9,
     }[compression]
     txs, tys = int(tile[1]), int(tile[0])  # tile=(rows, cols) -> x, y sizes
 

@@ -67,6 +67,19 @@ def _load():
         ]
         lib.oracle_write.restype = ctypes.c_int
         lib.oracle_write_multipart.restype = ctypes.c_int
+        lib.oracle_write_channels.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_float,
+        ]
+        lib.oracle_write_channels.restype = ctypes.c_int
+        lib.oracle_read_channel.restype = ctypes.c_int
         lib.oracle_read_size.restype = ctypes.c_int
         lib.oracle_read.restype = ctypes.c_int
         lib.oracle_part_count.restype = ctypes.c_int
@@ -132,6 +145,51 @@ def write_multipart(
     )
     if rc != 0:
         raise RuntimeError("oracle_write_multipart failed")
+
+
+_PIXEL_TYPE_IDS = {"uint": 0, "half": 1, "float": 2}
+
+
+def write_channels(
+    path: str,
+    names: list[str],
+    types: list[str],
+    planes: np.ndarray,
+    *,
+    compression: str = "ZIP",
+    dwa_level: float = 0.0,
+) -> None:
+    """Write arbitrary named channels (planar float data, one plane each)."""
+    lib = _load()
+    assert lib is not None
+    planes = np.ascontiguousarray(planes, dtype=np.float32)
+    n, h, w = planes.shape
+    assert n == len(names) == len(types)
+    tp = (ctypes.c_int * n)(*(_PIXEL_TYPE_IDS[t] for t in types))
+    rc = lib.oracle_write_channels(
+        path.encode(),
+        w,
+        h,
+        n,
+        ";".join(names).encode(),
+        tp,
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        COMPRESSION_IDS[compression],
+        dwa_level,
+    )
+    if rc != 0:
+        raise RuntimeError("oracle_write_channels failed")
+
+
+def read_channel(path: str, name: str, shape: tuple[int, int]) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    out = np.empty(shape, dtype=np.float32)
+    if lib.oracle_read_channel(
+        path.encode(), name.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ):
+        raise RuntimeError(f"oracle_read_channel failed: {path} {name}")
+    return out
 
 
 def read(path: str) -> np.ndarray:

@@ -189,6 +189,89 @@ int oracle_write_multipart(const char *path, int width, int height,
   }
 }
 
+// Generic scanline writer for arbitrary channel sets (DWA classifies
+// channels by NAME — R/G/B/Y/BY/RY are LOSSY_DCT, A is RLE, anything else
+// UNKNOWN — so codec tests need more than RGB). `names` is ';'-joined,
+// `types` per channel (0 UINT, 1 HALF, 2 FLOAT), `planes` is planar
+// float data (n_ch * height * width); UINT channels store the float cast
+// to uint32.
+int oracle_write_channels(const char *path, int width, int height, int n_ch,
+                          const char *names, const int *types,
+                          const float *planes, int compression,
+                          float dwa_level) {
+  try {
+    std::vector<std::string> chnames;
+    {
+      std::string all(names);
+      size_t start = 0;
+      while (start <= all.size()) {
+        size_t end = all.find(';', start);
+        if (end == std::string::npos) end = all.size();
+        chnames.push_back(all.substr(start, end - start));
+        start = end + 1;
+      }
+    }
+    Header header(width, height);
+    header.compression() = static_cast<Compression>(compression);
+    if (dwa_level > 0) addDwaCompressionLevel(header, dwa_level);
+    for (int c = 0; c < n_ch; ++c)
+      header.channels().insert(chnames[c].c_str(),
+                               Channel(static_cast<PixelType>(types[c])));
+
+    size_t npix = static_cast<size_t>(width) * height;
+    std::vector<std::vector<half>> hplanes(n_ch);
+    std::vector<std::vector<unsigned int>> uplanes(n_ch);
+    FrameBuffer fb;
+    for (int c = 0; c < n_ch; ++c) {
+      const float *src = planes + c * npix;
+      PixelType pt = static_cast<PixelType>(types[c]);
+      char *base;
+      size_t esz;
+      if (pt == HALF) {
+        hplanes[c].resize(npix);
+        for (size_t i = 0; i < npix; ++i) hplanes[c][i] = half(src[i]);
+        base = reinterpret_cast<char *>(hplanes[c].data());
+        esz = sizeof(half);
+      } else if (pt == UINT) {
+        uplanes[c].resize(npix);
+        for (size_t i = 0; i < npix; ++i)
+          uplanes[c][i] = static_cast<unsigned int>(src[i]);
+        base = reinterpret_cast<char *>(uplanes[c].data());
+        esz = sizeof(unsigned int);
+      } else {
+        base = reinterpret_cast<char *>(const_cast<float *>(src));
+        esz = sizeof(float);
+      }
+      fb.insert(chnames[c].c_str(), Slice(pt, base, esz, esz * width));
+    }
+    OutputFile out(path, header);
+    out.setFrameBuffer(fb);
+    out.writePixels(height);
+    return 0;
+  } catch (...) {
+    return 1;
+  }
+}
+
+// Reads one named channel as float (UINT/HALF converted by OpenEXR).
+int oracle_read_channel(const char *path, const char *name, float *out) {
+  try {
+    InputFile in(path);
+    Box2i dw = in.header().dataWindow();
+    int w = dw.max.x - dw.min.x + 1;
+    FrameBuffer fb;
+    char *origin = reinterpret_cast<char *>(out) -
+                   (static_cast<ptrdiff_t>(dw.min.y) * w + dw.min.x) *
+                       sizeof(float);
+    fb.insert(name, Slice(FLOAT, origin, sizeof(float), sizeof(float) * w));
+    in.setFrameBuffer(fb);
+    in.readPixels(dw.min.y, dw.max.y);
+    return 0;
+  } catch (...) {
+    return 1;
+  }
+}
+
 int oracle_read_size(const char *path, int *w, int *h) {
   try {
     InputFile in(path);

@@ -206,7 +206,28 @@ def test_exr_b44_roundtrip(tmp_path):
     assert (np.diff(t.astype(np.int64)[order]) > 0).all()
 
 
-def test_exr_pxr24_roundtrip(tmp_path):
+def test_exr_dwa_roundtrip(tmp_path):
+    """DWAA/DWAB: lossy JPEG-style DCT at dwaCompressionLevel=45 (the
+    format's default), so decode(encode(x)) is close but not exact for
+    RGB; FLOAT data survives the half-coefficient path with bounded
+    relative error. DWAB's 256-row chunking is exercised with a 300-row
+    image (two chunks, the second partial)."""
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(23)
+    img = rng.gamma(1.5, 1.0, (300, 31, 3)).astype(np.float32)
+    img[10:20, 5:15] = 0.0  # flat area: zero AC, RLE-friendly tokens
+
+    for comp in ("DWAA", "DWAB"):
+        p = str(tmp_path / f"{comp}.exr")
+        exr.write(p, img, pixel_type="half", compression=comp)
+        back = exr.read(p)
+        half = img.astype(np.float16).astype(np.float32)
+        # level-45 quantization in the gamma-2.2 nonlinear space: small
+        # absolute error on O(1) linear data (the system encoder measures
+        # the same bound here)
+        assert np.abs(back - half).max() < 0.08, comp
+        assert abs(float(np.mean(back - half))) < 1e-3, comp
     """PXR24: bit-exact for HALF; FLOAT is 24-bit-rounded BY DESIGN
     (ImfPxr24Compressor drops 8 mantissa bits), so rel err <= 2^-16 and
     re-encoding the decoded image is a fixed point."""

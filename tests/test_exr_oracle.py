@@ -26,7 +26,9 @@ pytestmark = pytest.mark.skipif(
     not oracle.available(), reason="system OpenEXR (libopenexr-dev) not present"
 )
 
-SUPPORTED = ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24", "B44", "B44A")
+SUPPORTED = (
+    "NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24", "B44", "B44A", "DWAA", "DWAB",
+)
 
 
 @pytest.fixture(scope="module")
@@ -60,12 +62,47 @@ def test_encode_accepted_by_openexr(tmp_path, img, comp, pt):
 
 
 @pytest.mark.parametrize("layout", ["tiled", "mipmap"])
-@pytest.mark.parametrize("comp", ["NONE", "ZIP", "PIZ", "B44A"])
+@pytest.mark.parametrize("comp", ["NONE", "ZIP", "PIZ", "B44A", "DWAA"])
 def test_tiled_decode_matches_openexr(tmp_path, img, layout, comp):
     """Tiled single-part files (ONE_LEVEL and MIPMAP level 0)."""
     p = str(tmp_path / f"{layout}_{comp}.exr")
     oracle.write(p, img, compression=comp, layout=layout, tile_size=32)
     assert np.array_equal(exr.read(p), oracle.read(p))
+
+
+@pytest.mark.parametrize("level", [0.0, 200.0])
+def test_dwa_channel_classification(tmp_path, level):
+    """DWA classifies channels by NAME: Y alone is LOSSY_DCT without the
+    RGB->YCbCr decorrelation, A is RLE-coded, and anything else (here Z
+    float and an `id` UINT) is an UNKNOWN channel stored losslessly.
+    Every decoded sample must equal libOpenEXR's own decode bitwise, at
+    the default quantization and at a heavy dwaCompressionLevel=200."""
+    rng = np.random.default_rng(7)
+    h, w = 33, 41
+    y = rng.gamma(1.5, 1.0, (h, w)).astype(np.float32)
+    p = str(tmp_path / f"lum_{level}.exr")
+    oracle.write_channels(p, ["Y"], ["half"], y[None], compression="DWAA",
+                          dwa_level=level)
+    got = exr.read(p)  # single luminance channel replicated to 3
+    ref = oracle.read_channel(p, "Y", (h, w))
+    assert np.array_equal(got[..., 0], ref)
+    assert np.array_equal(got[..., 1], ref)
+
+    a = rng.uniform(0.0, 1.0, (h, w)).astype(np.float32)
+    z = rng.normal(0, 50.0, (h, w)).astype(np.float32)
+    ident = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    p2 = str(tmp_path / f"aux_{level}.exr")
+    oracle.write_channels(
+        p2, ["A", "Z", "id"], ["half", "float", "uint"],
+        np.stack([a, z, ident]), compression="DWAB", dwa_level=level,
+    )
+    got = exr.read(p2)  # no RGB/Y -> file order (alphabetical by writer)
+    for i, name in enumerate(["A", "Z", "id"]):
+        ref = oracle.read_channel(p2, name, (h, w))
+        assert np.array_equal(got[..., i], ref), name
+    # UNKNOWN channels are stored losslessly by the format
+    assert np.array_equal(got[..., 1], z)
+    assert np.array_equal(got[..., 2], ident)
 
 
 def test_odd_sizes_and_tiny(tmp_path):
