@@ -20,9 +20,11 @@
 //
 // Build: g++ -O3 -shared -fPIC exr_decode.cpp -o libexr_decode.so -lz
 
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -639,6 +641,520 @@ bool b44_uncompress(const uint8_t* payload, size_t size, int n_channels,
   return pos <= size;
 }
 
+size_t itemsize(int ptype) { return ptype == 1 ? 2 : 4; }
+
+// ---- DWA / DWAA / DWAB (compression ids 8/9) -------------------------------
+//
+// JPEG-style lossy scheme: channels classified by NAME into LOSSY_DCT
+// (8x8 DCT of a perceptual nonlinearity, optional RGB->Y/BY/RY
+// decorrelation), RLE (alpha) and UNKNOWN (lossless). AC coefficients are
+// run-length tokenized and entropy-coded with the PIZ Huffman coder above.
+// Port of reni_tpu/data/dwa.py (the commented reference implementation);
+// the two are pinned bit-identical, and dwa.py itself is pinned
+// bit-for-bit against the system libOpenEXR in tests/test_exr_oracle.py.
+// The toLinear half-bit lookup table is passed in from Python so both
+// decoders index the SAME table (avoids libm powf/np.power ulp drift).
+
+// float32 -> half bits, IEEE round-to-nearest-even (matches numpy's
+// float32->float16 cast for every finite input; DWA maps all inf/NaN
+// halves to 0 through the toLinear table, so payload details are moot).
+uint16_t f32_to_f16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  x &= 0x7FFFFFFFu;
+  if (x >= 0x7F800000u) {  // inf / nan
+    uint32_t m = x & 0x7FFFFFu;
+    return static_cast<uint16_t>(sign | 0x7C00u |
+                                 (m ? (0x200u | (m >> 13)) : 0));
+  }
+  if (x >= 0x38800000u) {  // normal half range (may round up to inf)
+    uint32_t r = x + 0xFFFu + ((x >> 13) & 1u);
+    r = (r - 0x38000000u) >> 13;
+    if (r >= 0x7C00u) return static_cast<uint16_t>(sign | 0x7C00u);
+    return static_cast<uint16_t>(sign | r);
+  }
+  if (x < 0x33000000u) return static_cast<uint16_t>(sign);  // < 2^-25 -> 0
+  // subnormal half: value in [2^-25, 2^-14)
+  int e = static_cast<int>(x >> 23);
+  uint32_t m = (x & 0x7FFFFFu) | 0x800000u;
+  int shift = 126 - e;  // 14..24
+  uint32_t q = m >> shift;
+  uint32_t rem = m & ((1u << shift) - 1u);
+  uint32_t halfway = 1u << (shift - 1);
+  if (rem > halfway || (rem == halfway && (q & 1u))) ++q;
+  return static_cast<uint16_t>(sign | q);
+}
+
+// The AVX inverse-DCT constant set baked into libOpenEXR's .rodata
+// (dwa.py _AVX_CONSTS; 1-3 ulps from the scalar cosf values). Order:
+// a, b, d, e, g, c, f.
+constexpr uint32_t kDwaAvxBits[7] = {0x3EB504FA, 0x3EFB14C1, 0x3ED4DB34,
+                                     0x3E8E39E7, 0x3DC7C60E, 0x3EEC8360,
+                                     0x3E43EF36};
+
+inline float bits_to_float(uint32_t b) {
+  float f;
+  std::memcpy(&f, &b, 4);
+  return f;
+}
+
+// In-place 8x8 inverse DCT replicating dwa.py::_idct8x8 — the library's
+// AVX matrix-multiply formulation with its pairwise-summation trees —
+// operation for operation in float32 (this file builds without FMA
+// contraction: baseline x86-64 has no FMA and -ffp-contract=off is passed,
+// so every multiply/add rounds exactly like the numpy float32 ops).
+void dwa_idct8x8(float* m) {
+  const float ka = bits_to_float(kDwaAvxBits[0]);
+  const float kb = bits_to_float(kDwaAvxBits[1]);
+  const float kd = bits_to_float(kDwaAvxBits[2]);
+  const float ke = bits_to_float(kDwaAvxBits[3]);
+  const float kg = bits_to_float(kDwaAvxBits[4]);
+  const float kc = bits_to_float(kDwaAvxBits[5]);
+  const float kf = bits_to_float(kDwaAvxBits[6]);
+
+  // row pass: even rows [a,a,a,a],[c,f,-f,-c],[a,-a,-a,a],[f,-c,c,-f];
+  // odd rows [b,d,e,g],[d,-g,-b,-e],[e,-b,g,d],[g,-e,d,-b]
+  const float m1j[4] = {kc, kf, -kf, -kc};
+  const float m2j[4] = {ka, -ka, -ka, ka};
+  const float m3j[4] = {kf, -kc, kc, -kf};
+  const float m4j[4] = {kb, kd, ke, kg};
+  const float m5j[4] = {kd, -kg, -kb, -ke};
+  const float m6j[4] = {ke, -kb, kg, kd};
+  const float m7j[4] = {kg, -ke, kd, -kb};
+  float tmp[64];
+  for (int r = 0; r < 8; ++r) {
+    const float* x = m + r * 8;
+    float* o = tmp + r * 8;
+    for (int j = 0; j < 4; ++j) {
+      float ev = (x[0] * ka + x[2] * m1j[j]) + (x[4] * m2j[j] + x[6] * m3j[j]);
+      float od =
+          (x[1] * m4j[j] + x[3] * m5j[j]) + (x[5] * m6j[j] + x[7] * m7j[j]);
+      o[j] = ev + od;
+      o[7 - j] = ev - od;
+    }
+  }
+
+  // column pass: explicit association trees over the row vectors
+  for (int j = 0; j < 8; ++j) {
+    float r0 = tmp[0 * 8 + j], r1 = tmp[1 * 8 + j], r2 = tmp[2 * 8 + j],
+          r3 = tmp[3 * 8 + j], r4 = tmp[4 * 8 + j], r5 = tmp[5 * 8 + j],
+          r6 = tmp[6 * 8 + j], r7 = tmp[7 * 8 + j];
+    float beta0 = (kb * r1 + kd * r3) + (ke * r5 + kg * r7);
+    float beta1 = (kd * r1 - (kg * r3 + kb * r5)) - ke * r7;
+    float beta2 = ((ke * r1 - kb * r3) + kg * r5) + kd * r7;
+    float beta3 = (kg * r1 + kd * r5) - (ke * r3 + kb * r7);
+    float ar0 = ka * r0;
+    float ar4 = ka * r4;
+    float t0p = ar0 + ar4;  // NOT a*(r0+r4): the AVX path multiplies first
+    float t0m = ar0 - ar4;
+    float theta1 = kc * r2 + kf * r6;
+    float theta2 = kf * r2 - kc * r6;
+    float g0 = t0p + theta1;
+    float g3 = t0p - theta1;
+    float g1 = t0m + theta2;
+    float g2 = t0m - theta2;
+    m[0 * 8 + j] = g0 + beta0;
+    m[1 * 8 + j] = g1 + beta1;
+    m[2 * 8 + j] = g2 + beta2;
+    m[3 * 8 + j] = g3 + beta3;
+    m[4 * 8 + j] = g3 - beta3;
+    m[5 * 8 + j] = g2 - beta2;
+    m[6 * 8 + j] = g1 - beta1;
+    m[7 * 8 + j] = g0 - beta0;
+  }
+}
+
+// Rec.709 inverse decorrelation (dwa.py float32 literals, same op order).
+inline void dwa_csc_inverse(float y, float by, float ry, float& r, float& g,
+                            float& b) {
+  r = y + 1.5747f * ry;
+  g = (y - 0.1873f * by) - 0.4682f * ry;
+  b = y + 1.8556f * by;
+}
+
+// zig-zag position -> row-major flat index (the JPEG order; dwa.py
+// _zigzag_to_flat).
+const int* dwa_zig_to_flat() {
+  static const auto table = [] {
+    std::array<int, 64> t{};
+    int p = 0;
+    for (int s = 0; s < 15; ++s) {
+      int lo = s - 7 > 0 ? s - 7 : 0;
+      int hi = s < 7 ? s : 7;
+      if (s % 2 == 0) {
+        for (int i = lo; i <= hi; ++i) t[p++] = (s - i) * 8 + i;
+      } else {  // odd diagonals run the reverse direction
+        for (int i = hi; i >= lo; --i) t[p++] = (s - i) * 8 + i;
+      }
+    }
+    return t;
+  }();
+  return table.data();
+}
+
+constexpr int DWA_UNKNOWN = 0, DWA_LOSSY_DCT = 1, DWA_RLE = 2;
+
+struct DwaRule {
+  std::string suffix;
+  int csc;
+  int scheme;
+  bool ci;
+  int ptype;
+};
+
+// The published encoder's default classification, used only for
+// pre-version-2 chunks (dwa.py _DEFAULT_RULES, same order).
+const std::vector<DwaRule>& dwa_default_rules() {
+  static const std::vector<DwaRule> rules = [] {
+    std::vector<DwaRule> r;
+    for (int t : {1, 2}) r.push_back({"R", 0, DWA_LOSSY_DCT, false, t});
+    for (int t : {1, 2}) r.push_back({"G", 1, DWA_LOSSY_DCT, false, t});
+    for (int t : {1, 2}) r.push_back({"B", 2, DWA_LOSSY_DCT, false, t});
+    for (const char* s : {"Y", "BY", "RY"})
+      for (int t : {1, 2}) r.push_back({s, -1, DWA_LOSSY_DCT, false, t});
+    for (int t : {0, 1, 2}) r.push_back({"A", -1, DWA_RLE, false, t});
+    return r;
+  }();
+  return rules;
+}
+
+std::string dwa_lower(const std::string& s) {
+  std::string out = s;
+  for (char& c : out)
+    if (c >= 'A' && c <= 'Z') c = static_cast<char>(c - 'A' + 'a');
+  return out;
+}
+
+// Channel classification (dwa.py _classify): per-channel (scheme, csc)
+// from the first matching rule, then the ordered LOSSY_DCT channel sets —
+// complete R/G/B csc groups by name prefix first, lone DCT channels after.
+void dwa_classify(const std::vector<std::string>& names, const int32_t* ptypes,
+                  int n, const std::vector<DwaRule>& rules,
+                  std::vector<int>& schemes, std::vector<std::vector<int>>& sets) {
+  schemes.assign(n, DWA_UNKNOWN);
+  std::vector<int> cscs(n, -1);
+  std::vector<std::string> suffixes(n), prefixes(n);
+  for (int i = 0; i < n; ++i) {
+    const std::string& name = names[i];
+    size_t dot = name.rfind('.');
+    suffixes[i] = dot == std::string::npos ? name : name.substr(dot + 1);
+    prefixes[i] = name.substr(0, name.size() - suffixes[i].size());
+    for (const DwaRule& r : rules) {
+      if (r.ptype != ptypes[i]) continue;
+      bool match = r.ci ? dwa_lower(suffixes[i]) == dwa_lower(r.suffix)
+                        : suffixes[i] == r.suffix;
+      if (match) {
+        schemes[i] = r.scheme;
+        cscs[i] = r.csc;
+        break;
+      }
+    }
+  }
+
+  // groups by prefix in first-appearance order; last channel wins a
+  // duplicate csc slot (dict semantics of the reference implementation)
+  std::vector<std::string> order;
+  std::vector<std::vector<std::pair<int, int>>> groups;  // (csc, idx)
+  for (int i = 0; i < n; ++i) {
+    if (schemes[i] != DWA_LOSSY_DCT || cscs[i] < 0) continue;
+    size_t gi = 0;
+    for (; gi < order.size(); ++gi)
+      if (order[gi] == prefixes[i]) break;
+    if (gi == order.size()) {
+      order.push_back(prefixes[i]);
+      groups.emplace_back();
+    }
+    bool replaced = false;
+    for (auto& kv : groups[gi])
+      if (kv.first == cscs[i]) {
+        kv.second = i;
+        replaced = true;
+        break;
+      }
+    if (!replaced) groups[gi].push_back({cscs[i], i});
+  }
+
+  sets.clear();
+  std::vector<bool> in_set(n, false);
+  for (size_t gi = 0; gi < order.size(); ++gi) {
+    const auto& g = groups[gi];
+    if (g.size() != 3) continue;
+    int idx_by_csc[3] = {-1, -1, -1};
+    bool complete = true;
+    for (const auto& kv : g) {
+      if (kv.first < 0 || kv.first > 2) {
+        complete = false;
+        break;
+      }
+      idx_by_csc[kv.first] = kv.second;
+    }
+    if (!complete || idx_by_csc[0] < 0 || idx_by_csc[1] < 0 ||
+        idx_by_csc[2] < 0)
+      continue;
+    sets.push_back({idx_by_csc[0], idx_by_csc[1], idx_by_csc[2]});
+    for (int ix : idx_by_csc) in_set[ix] = true;
+  }
+  for (int i = 0; i < n; ++i)
+    if (schemes[i] == DWA_LOSSY_DCT && !in_set[i]) sets.push_back({i});
+}
+
+inline uint64_t dwa_le64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+// One DWA chunk/tile -> scanline-interleaved raw bytes (per row, each
+// channel's run in file order; DCT FLOAT channels widened from half).
+// dwa.py::decompress, section order UNKNOWN / AC / DC / RLE.
+bool dwa_uncompress(PizCtx& piz_ctx, const uint8_t* payload, size_t size,
+                    int n_channels, const int32_t* ptypes,
+                    const std::vector<std::string>& names,
+                    const uint16_t* to_linear, int width, int nrows,
+                    uint8_t* raw_out) {
+  if (size < 88 || to_linear == nullptr ||
+      static_cast<int>(names.size()) != n_channels)
+    return false;
+  const uint64_t version = dwa_le64(payload);
+  const uint64_t unk_usize = dwa_le64(payload + 8);
+  const uint64_t unk_csize = dwa_le64(payload + 16);
+  const uint64_t ac_csize = dwa_le64(payload + 24);
+  const uint64_t dc_csize = dwa_le64(payload + 32);
+  const uint64_t rle_csize = dwa_le64(payload + 40);
+  const uint64_t rle_usize = dwa_le64(payload + 48);
+  const uint64_t rle_raw_size = dwa_le64(payload + 56);
+  const uint64_t ac_count = dwa_le64(payload + 64);
+  const uint64_t dc_count = dwa_le64(payload + 72);
+  const uint64_t ac_compression = dwa_le64(payload + 80);
+
+  std::vector<DwaRule> parsed_rules;
+  const std::vector<DwaRule>* rules;
+  size_t pos = 88;
+  if (version < 2) {
+    rules = &dwa_default_rules();
+  } else {
+    if (size < 90) return false;
+    uint16_t total;
+    std::memcpy(&total, payload + 88, 2);
+    if (total < 2 || 88 + static_cast<size_t>(total) > size) return false;
+    size_t end = 88 + total;
+    size_t rp = 90;
+    while (rp < end) {
+      size_t ne = rp;
+      while (ne < end && payload[ne] != 0) ++ne;
+      if (ne >= end) return false;
+      std::string suffix(reinterpret_cast<const char*>(payload + rp), ne - rp);
+      rp = ne + 1;
+      if (rp + 2 > end) return false;
+      uint8_t b1 = payload[rp], b2 = payload[rp + 1];
+      rp += 2;
+      parsed_rules.push_back({suffix, ((b1 >> 4) & 0xF) - 1, (b1 >> 2) & 3,
+                              (b1 & 1) != 0, b2});
+    }
+    rules = &parsed_rules;
+    pos = end;
+  }
+
+  // section bounds (uint64 sizes: guard against overflowing size_t sums)
+  const uint64_t remaining = size - pos;
+  if (unk_csize > remaining || ac_csize > remaining - unk_csize ||
+      dc_csize > remaining - unk_csize - ac_csize ||
+      rle_csize > remaining - unk_csize - ac_csize - dc_csize)
+    return false;
+  const uint8_t* unknown_c = payload + pos;
+  const uint8_t* ac_c = unknown_c + unk_csize;
+  const uint8_t* dc_c = ac_c + ac_csize;
+  const uint8_t* rle_c = dc_c + dc_csize;
+
+  // sanity-bound the declared element counts by what this chunk's pixel
+  // grid could possibly hold (a corrupt header must not drive allocation)
+  const size_t npix = static_cast<size_t>(width) * nrows;
+  const size_t nbx = (width + 7) / 8, nby = (nrows + 7) / 8;
+  const size_t nblocks = nbx * nby;
+  if (ac_count > 65 * nblocks * static_cast<uint64_t>(n_channels) ||
+      dc_count > nblocks * static_cast<uint64_t>(n_channels) ||
+      unk_usize > 4 * npix * static_cast<uint64_t>(n_channels) ||
+      rle_raw_size > 4 * npix * static_cast<uint64_t>(n_channels) ||
+      rle_usize > 2 * rle_raw_size + 64)
+    return false;
+
+  std::vector<int> schemes;
+  std::vector<std::vector<int>> sets;
+  dwa_classify(names, ptypes, n_channels, *rules, schemes, sets);
+
+  // --- section decode ------------------------------------------------------
+  std::vector<uint16_t> tokens(static_cast<size_t>(ac_count));
+  if (ac_count) {
+    if (ac_compression == 0) {  // STATIC_HUFFMAN (the PIZ coder)
+      if (!huf_uncompress(piz_ctx, ac_c, ac_csize, tokens.data(),
+                          tokens.size()))
+        return false;
+    } else if (ac_compression == 1) {  // DEFLATE
+      uLongf dest_len = 2 * tokens.size();
+      if (uncompress(reinterpret_cast<uint8_t*>(tokens.data()), &dest_len,
+                     ac_c, static_cast<uLong>(ac_csize)) != Z_OK ||
+          dest_len != 2 * tokens.size())
+        return false;
+    } else {
+      return false;
+    }
+  }
+
+  std::vector<uint16_t> dc(static_cast<size_t>(dc_count));
+  if (dc_count) {
+    const size_t dc_bytes = 2 * dc.size();
+    std::vector<uint8_t> predicted(dc_bytes), scratch(dc_bytes);
+    uLongf dest_len = dc_bytes;
+    if (uncompress(predicted.data(), &dest_len, dc_c,
+                   static_cast<uLong>(dc_csize)) != Z_OK ||
+        dest_len != dc_bytes)
+      return false;
+    unpredict_deinterleave(predicted.data(), dc_bytes,
+                           reinterpret_cast<uint8_t*>(dc.data()),
+                           scratch.data());
+  }
+
+  std::vector<uint8_t> rle_raw(static_cast<size_t>(rle_raw_size));
+  if (rle_csize) {
+    std::vector<uint8_t> rle_stream(static_cast<size_t>(rle_usize));
+    uLongf dest_len = rle_stream.size();
+    if (uncompress(rle_stream.data(), &dest_len, rle_c,
+                   static_cast<uLong>(rle_csize)) != Z_OK ||
+        dest_len != rle_stream.size())
+      return false;
+    if (!rle_uncompress(rle_stream.data(), rle_stream.size(), rle_raw.data(),
+                        rle_raw.size()))
+      return false;
+  } else if (rle_raw_size) {
+    return false;
+  }
+
+  std::vector<uint8_t> unknown_raw(static_cast<size_t>(unk_usize));
+  if (unk_csize) {
+    uLongf dest_len = unknown_raw.size();
+    if (uncompress(unknown_raw.data(), &dest_len, unknown_c,
+                   static_cast<uLong>(unk_csize)) != Z_OK ||
+        dest_len != unknown_raw.size())
+      return false;
+  } else if (unk_usize) {
+    return false;
+  }
+
+  // --- LOSSY_DCT channel sets ----------------------------------------------
+  const int* zig = dwa_zig_to_flat();
+  std::vector<std::vector<uint16_t>> planes(n_channels);  // post-toLinear
+  size_t ti = 0, di = 0;
+  for (const auto& chan_set : sets) {
+    const int nch = static_cast<int>(chan_set.size());
+    for (int ci : chan_set) {
+      if (ptypes[ci] == 0) return false;  // UINT cannot carry a DCT plane
+      planes[ci].assign(npix, 0);
+    }
+    if (di + static_cast<size_t>(nch) * nblocks > dc.size()) return false;
+    float spatial[3][64];
+    for (size_t b = 0; b < nblocks; ++b) {
+      for (int c = 0; c < nch; ++c) {
+        uint16_t zz[64] = {0};
+        int zp = 1;
+        while (zp < 64) {
+          if (ti >= tokens.size()) return false;  // AC stream underrun
+          uint16_t t = tokens[ti++];
+          if (t >= 0xFF00) {
+            if (t == 0xFF00) break;
+            zp += t - 0xFF00;
+          } else {
+            zz[zp++] = t;
+          }
+        }
+        zz[0] = dc[di + static_cast<size_t>(c) * nblocks + b];
+        float* mblk = spatial[c];
+        for (int p2 = 0; p2 < 64; ++p2) mblk[zig[p2]] = g_half_table[zz[p2]];
+        dwa_idct8x8(mblk);
+      }
+      if (nch == 3) {
+        for (int p2 = 0; p2 < 64; ++p2) {
+          float r, g, bl;
+          dwa_csc_inverse(spatial[0][p2], spatial[1][p2], spatial[2][p2], r, g,
+                          bl);
+          spatial[0][p2] = r;
+          spatial[1][p2] = g;
+          spatial[2][p2] = bl;
+        }
+      }
+      const size_t by = b / nbx, bx = b % nbx;
+      const int ny = static_cast<int>(nrows - by * 8) < 8
+                         ? static_cast<int>(nrows - by * 8)
+                         : 8;
+      const int nx = static_cast<int>(width - bx * 8) < 8
+                         ? static_cast<int>(width - bx * 8)
+                         : 8;
+      for (int c = 0; c < nch; ++c) {
+        uint16_t* pl = planes[chan_set[c]].data();
+        for (int i = 0; i < ny; ++i)
+          for (int j = 0; j < nx; ++j)
+            pl[(by * 8 + i) * width + bx * 8 + j] =
+                to_linear[f32_to_f16(spatial[c][i * 8 + j])];
+      }
+    }
+    di += static_cast<size_t>(nch) * nblocks;
+  }
+  if (di != dc.size()) return false;  // DC stream not fully consumed
+  if (ti != tokens.size()) return false;  // AC stream not fully consumed
+
+  // --- assemble scanline-interleaved output --------------------------------
+  std::vector<size_t> ch_off(n_channels);
+  size_t row_bytes = 0;
+  for (int c = 0; c < n_channels; ++c) {
+    ch_off[c] = row_bytes;
+    row_bytes += static_cast<size_t>(width) * itemsize(ptypes[c]);
+  }
+
+  size_t rp = 0, up = 0;
+  for (int c = 0; c < n_channels; ++c) {
+    const size_t esz = itemsize(ptypes[c]);
+    if (schemes[c] == DWA_LOSSY_DCT) {
+      const uint16_t* pl = planes[c].data();
+      if (ptypes[c] == 1) {  // HALF
+        for (int r = 0; r < nrows; ++r)
+          std::memcpy(raw_out + static_cast<size_t>(r) * row_bytes + ch_off[c],
+                      pl + static_cast<size_t>(r) * width,
+                      static_cast<size_t>(width) * 2);
+      } else {  // FLOAT: widen the lossy half
+        for (int r = 0; r < nrows; ++r) {
+          uint8_t* dst = raw_out + static_cast<size_t>(r) * row_bytes +
+                         ch_off[c];
+          for (int x = 0; x < width; ++x) {
+            float v = g_half_table[pl[static_cast<size_t>(r) * width + x]];
+            std::memcpy(dst + 4 * static_cast<size_t>(x), &v, 4);
+          }
+        }
+      }
+    } else if (schemes[c] == DWA_RLE) {
+      // per channel: little-endian byte planes over the whole chunk
+      if (rp + esz * npix > rle_raw.size()) return false;
+      for (int r = 0; r < nrows; ++r) {
+        uint8_t* dst = raw_out + static_cast<size_t>(r) * row_bytes + ch_off[c];
+        for (int x = 0; x < width; ++x) {
+          const size_t sample = static_cast<size_t>(r) * width + x;
+          for (size_t j = 0; j < esz; ++j)
+            dst[static_cast<size_t>(x) * esz + j] =
+                rle_raw[rp + j * npix + sample];
+        }
+      }
+      rp += esz * npix;
+    } else {  // UNKNOWN: raw plane
+      if (up + esz * npix > unknown_raw.size()) return false;
+      for (int r = 0; r < nrows; ++r)
+        std::memcpy(raw_out + static_cast<size_t>(r) * row_bytes + ch_off[c],
+                    unknown_raw.data() + up + static_cast<size_t>(r) * width * esz,
+                    static_cast<size_t>(width) * esz);
+      up += esz * npix;
+    }
+  }
+  return true;
+}
+
 struct ChunkInfo {
   int y;
   const uint8_t* payload;
@@ -648,7 +1164,8 @@ struct ChunkInfo {
 struct DecodeJob {
   const std::vector<ChunkInfo>* chunks;
   int lines_per_chunk;
-  int compression;  // 0 NONE, 1 RLE, 2 ZIPS, 3 ZIP, 4 PIZ, 5 PXR24, 6/7 B44[A]
+  int compression;  // 0 NONE, 1 RLE, 2 ZIPS, 3 ZIP, 4 PIZ, 5 PXR24,
+                    // 6/7 B44[A], 8/9 DWA[A/B]
   int width;
   int height;
   int ymin;
@@ -657,11 +1174,11 @@ struct DecodeJob {
   const int32_t* ch_out;     // output channel index or -1 (file channel order)
   int out_channels;
   float* out;  // (height, width, out_channels), interleaved
+  const std::vector<std::string>* ch_names;  // file order (DWA classification)
+  const uint16_t* dwa_to_linear;             // 65536-entry table (DWA only)
   std::atomic<int>* next;
   std::atomic<int>* err;
 };
-
-size_t itemsize(int ptype) { return ptype == 1 ? 2 : 4; }
 
 void decode_worker(DecodeJob job) {
   size_t bytes_per_pixel = 0;
@@ -722,6 +1239,14 @@ void decode_worker(DecodeJob job) {
       if (!b44_uncompress(ch.payload, ch.size, job.n_file_channels,
                           job.ch_ptypes, job.width, nrows, raw.data())) {
         job.err->store(8);
+        return;
+      }
+      src = raw.data();
+    } else if (job.compression == 8 || job.compression == 9) {  // DWAA / DWAB
+      if (!dwa_uncompress(piz_ctx, ch.payload, ch.size, job.n_file_channels,
+                          job.ch_ptypes, *job.ch_names, job.dwa_to_linear,
+                          job.width, nrows, raw.data())) {
+        job.err->store(9);
         return;
       }
       src = raw.data();
@@ -787,13 +1312,28 @@ extern "C" {
 
 // Returns 0 on success; 1 bad chunk framing, 2 bad y, 3 short raw chunk,
 // 4 zlib failure, 5 corrupt RLE, 6 corrupt PIZ, 7 corrupt PXR24,
-// 8 corrupt B44.
+// 8 corrupt B44, 9 corrupt DWA, 10 missing DWA inputs.
+// ch_names: the file-order channel names, NUL-separated (DWA classifies
+// channels by name). dwa_to_linear: the 65536-entry toLinear half-bit
+// table, passed from Python so both decoders index the same table; may be
+// NULL for non-DWA compressions.
 int exr_decode_chunks(const uint8_t* data, long long data_size, long long pos,
                       int n_chunks, int lines_per_chunk, int compression,
                       int width, int height, int ymin, int n_file_channels,
                       const int32_t* ch_ptypes, const int32_t* ch_out,
-                      int out_channels, float* out, int n_threads) {
+                      int out_channels, float* out, int n_threads,
+                      const char* ch_names, const uint16_t* dwa_to_linear) {
   ensure_half_table();
+
+  std::vector<std::string> names;
+  if (compression == 8 || compression == 9) {
+    if (ch_names == nullptr || dwa_to_linear == nullptr) return 10;
+    const char* p_name = ch_names;
+    for (int i = 0; i < n_file_channels; ++i) {
+      names.emplace_back(p_name);
+      p_name += names.back().size() + 1;
+    }
+  }
 
   // sequential scan of the chunk framing (y:int32, size:int32, payload)
   std::vector<ChunkInfo> chunks;
@@ -814,7 +1354,7 @@ int exr_decode_chunks(const uint8_t* data, long long data_size, long long pos,
   DecodeJob job{&chunks,  lines_per_chunk, compression, width,
                 height,   ymin,            n_file_channels,
                 ch_ptypes, ch_out,         out_channels, out,
-                &next,    &err};
+                &names,   dwa_to_linear,   &next,        &err};
 
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw <= 0) hw = 4;

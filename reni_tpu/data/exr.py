@@ -22,8 +22,9 @@ Supported (covers the RENI_HDR dataset and everything typical tooling emits):
   PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``),
   PXR24 (16; lossless for HALF/UINT, 24-bit-rounded for FLOAT by design),
   B44/B44A (32; lossy 4x4-block HALF packing; codec in ``data/b44.py``),
-  DWAA (32) / DWAB (256; lossy JPEG-style DCT; codec in ``data/dwa.py``,
-  Python path — decode pinned bit-exact against libOpenEXR)
+  DWAA (32) / DWAB (256; lossy JPEG-style DCT; reference codec in
+  ``data/dwa.py``, native scanline decode in ``exr_decode.cpp`` — both
+  pinned bit-exact against libOpenEXR)
 - increasing-y line order
 
 Unsupported (raises): deep/multi-part, RIPMAP tiling.
@@ -76,7 +77,9 @@ def _load_native_locked():
     try:
         from reni_tpu.utils.native_build import load_native
 
-        lib = load_native(_SRC_PATH, _SO_PATH, ("-lz",))
+        # -ffp-contract=off: the DWA inverse-DCT must round exactly like
+        # the numpy float32 ops it is pinned against (no FMA contraction)
+        lib = load_native(_SRC_PATH, _SO_PATH, ("-lz", "-ffp-contract=off"))
         lib.exr_decode_chunks.argtypes = [
             ctypes.c_char_p,  # data
             ctypes.c_longlong,  # data_size
@@ -93,6 +96,8 @@ def _load_native_locked():
             ctypes.c_int,  # out_channels
             ctypes.POINTER(ctypes.c_float),  # out
             ctypes.c_int,  # n_threads
+            ctypes.c_char_p,  # ch_names (NUL-separated, file order)
+            ctypes.POINTER(ctypes.c_uint16),  # DWA toLinear table (or None)
         ]
         lib.exr_decode_chunks.restype = ctypes.c_int
         _lib = lib
@@ -402,15 +407,23 @@ def read(path: str) -> np.ndarray:
     out_names, replicate_y = _select_channels(ch_names)
     out_index = {n: i for i, n in enumerate(out_names)}
 
-    # DWA is decoded by the Python codec (data/dwa.py): keep it off the
-    # native path, whose dispatch would misread the payload as ZIP/raw.
-    lib = _load_native() if compression not in (8, 9) else None
+    lib = _load_native()
     if lib is not None:
         out = np.empty((height, width, len(out_names)), dtype=np.float32)
         ptypes = np.asarray([pt for _, pt, _, _ in channels], dtype=np.int32)
         chout = np.asarray(
             [out_index.get(n, -1) for n in ch_names], dtype=np.int32
         )
+        names_blob = b"".join(n.encode("latin-1") + b"\0" for n in ch_names)
+        if compression in (8, 9):
+            # both decoders must index the SAME toLinear table (dwa.py's,
+            # itself pinned bit-identical to libOpenEXR's baked tables)
+            from reni_tpu.data import dwa
+
+            to_linear = np.ascontiguousarray(dwa._tables()[0])
+            table_ptr = to_linear.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        else:
+            table_ptr = None
         rc = lib.exr_decode_chunks(
             data,
             len(data),
@@ -427,6 +440,8 @@ def read(path: str) -> np.ndarray:
             len(out_names),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             0,
+            names_blob,
+            table_ptr,
         )
         if rc == 0:
             return np.repeat(out, 3, axis=-1) if replicate_y else out

@@ -94,7 +94,9 @@ def test_exr_grayscale(tmp_path):
 
 def test_exr_native_decoder_matches_python(tmp_path):
     """native/exr_decode.cpp must decode bit-identically to the pure-Python
-    oracle (incl. subnormal halves) across compressions and pixel types."""
+    oracle (incl. subnormal halves) across compressions and pixel types.
+    DWA parity covers the name-classified DCT/CSC path and the shared
+    toLinear table passed into the native decoder."""
     import pytest
 
     from reni_tpu.data import exr
@@ -102,7 +104,10 @@ def test_exr_native_decoder_matches_python(tmp_path):
     if exr._load_native() is None:
         pytest.skip("native toolchain unavailable")
     rng = np.random.default_rng(0)
-    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24", "B44", "B44A"):
+    for comp in (
+        "NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24", "B44", "B44A",
+        "DWAA", "DWAB",
+    ):
         for ptype in ("half", "float"):
             img = (rng.normal(size=(33, 47, 3)) * 4).astype(np.float32)
             # subnormal-half magnitudes and exact zero exercise the
