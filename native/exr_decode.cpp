@@ -1180,14 +1180,130 @@ struct DecodeJob {
   std::atomic<int>* err;
 };
 
+struct DecodeBuffers {
+  std::vector<uint8_t> raw, scratch, inflated;
+  PizCtx piz;  // reusable PIZ/Huffman buffers
+};
+
+// Decompress one chunk/tile payload of `cw` x `nrows` pixels into the
+// scanline-interleaved raw layout; sets *src to the decoded bytes (the
+// payload itself when stored raw). Returns 0 or the error code.
+int decompress_payload(DecodeBuffers& bufs, const uint8_t* payload,
+                       size_t size, int compression, int n_file_channels,
+                       const int32_t* ch_ptypes,
+                       const std::vector<std::string>& names,
+                       const uint16_t* dwa_to_linear, int cw, int nrows,
+                       size_t raw_size, const uint8_t** src) {
+  if (bufs.raw.size() < raw_size) {
+    bufs.raw.resize(raw_size);
+    bufs.scratch.resize(raw_size);
+    bufs.inflated.resize(raw_size);
+  }
+  if (compression == 0 || size >= raw_size) {
+    // uncompressed, or the writer stored the chunk raw (chunks whose
+    // compressed output would not shrink)
+    if (size < raw_size) return 3;
+    *src = payload;
+    return 0;
+  }
+  if (compression == 1) {  // RLE (+ the shared ZIP pre-filter)
+    if (!rle_uncompress(payload, size, bufs.inflated.data(), raw_size))
+      return 5;
+    unpredict_deinterleave(bufs.inflated.data(), raw_size, bufs.raw.data(),
+                           bufs.scratch.data());
+    *src = bufs.raw.data();
+    return 0;
+  }
+  if (compression == 4) {  // PIZ
+    if (!piz_uncompress(bufs.piz, payload, size, n_file_channels, ch_ptypes,
+                        cw, nrows, bufs.raw.data()))
+      return 6;
+    *src = bufs.raw.data();
+    return 0;
+  }
+  if (compression == 5) {  // PXR24
+    if (!pxr24_uncompress(payload, size, n_file_channels, ch_ptypes, cw,
+                          nrows, bufs.inflated, bufs.raw.data()))
+      return 7;
+    *src = bufs.raw.data();
+    return 0;
+  }
+  if (compression == 6 || compression == 7) {  // B44 / B44A
+    if (!b44_uncompress(payload, size, n_file_channels, ch_ptypes, cw, nrows,
+                        bufs.raw.data()))
+      return 8;
+    *src = bufs.raw.data();
+    return 0;
+  }
+  if (compression == 8 || compression == 9) {  // DWAA / DWAB
+    if (!dwa_uncompress(bufs.piz, payload, size, n_file_channels, ch_ptypes,
+                        names, dwa_to_linear, cw, nrows, bufs.raw.data()))
+      return 9;
+    *src = bufs.raw.data();
+    return 0;
+  }
+  // ZIPS / ZIP
+  uLongf dest_len = raw_size;
+  int rc = uncompress(bufs.inflated.data(), &dest_len, payload,
+                      static_cast<uLong>(size));
+  if (rc != Z_OK || dest_len != raw_size) return 4;
+  unpredict_deinterleave(bufs.inflated.data(), raw_size, bufs.raw.data(),
+                         bufs.scratch.data());
+  *src = bufs.raw.data();
+  return 0;
+}
+
+// Scatter decoded scanline-interleaved raw bytes (cw pixels per row) into
+// the (img_height, img_width, out_channels) float output at (row0, x0).
+void scatter_rows(const uint8_t* src, int cw, int nrows, int x0, int row0,
+                  int img_width, int n_file_channels,
+                  const int32_t* ch_ptypes, const int32_t* ch_out,
+                  int out_channels, float* out) {
+  const uint8_t* p = src;
+  for (int r = 0; r < nrows; ++r) {
+    float* out_row =
+        out +
+        (static_cast<size_t>(row0 + r) * img_width + x0) * out_channels;
+    for (int c = 0; c < n_file_channels; ++c) {
+      int ptype = ch_ptypes[c];
+      int oc = ch_out[c];
+      if (oc < 0) {
+        p += static_cast<size_t>(cw) * itemsize(ptype);
+        continue;
+      }
+      float* dst = out_row + oc;
+      if (ptype == 1) {
+        const uint16_t* hp = reinterpret_cast<const uint16_t*>(p);
+        for (int x = 0; x < cw; ++x) {
+          uint16_t h;
+          std::memcpy(&h, hp + x, 2);
+          dst[static_cast<size_t>(x) * out_channels] = g_half_table[h];
+        }
+        p += static_cast<size_t>(cw) * 2;
+      } else if (ptype == 2) {
+        for (int x = 0; x < cw; ++x) {
+          float f;
+          std::memcpy(&f, p + 4 * static_cast<size_t>(x), 4);
+          dst[static_cast<size_t>(x) * out_channels] = f;
+        }
+        p += static_cast<size_t>(cw) * 4;
+      } else {  // UINT
+        for (int x = 0; x < cw; ++x) {
+          uint32_t u;
+          std::memcpy(&u, p + 4 * static_cast<size_t>(x), 4);
+          dst[static_cast<size_t>(x) * out_channels] = static_cast<float>(u);
+        }
+        p += static_cast<size_t>(cw) * 4;
+      }
+    }
+  }
+}
+
 void decode_worker(DecodeJob job) {
   size_t bytes_per_pixel = 0;
   for (int c = 0; c < job.n_file_channels; ++c)
     bytes_per_pixel += itemsize(job.ch_ptypes[c]);
-  const size_t max_raw =
-      static_cast<size_t>(job.lines_per_chunk) * job.width * bytes_per_pixel;
-  std::vector<uint8_t> raw(max_raw), scratch(max_raw), inflated(max_raw);
-  PizCtx piz_ctx;  // per-worker reusable PIZ buffers
+  DecodeBuffers bufs;
 
   for (;;) {
     int ci = job.next->fetch_add(1);
@@ -1204,105 +1320,65 @@ void decode_worker(DecodeJob job) {
     size_t raw_size = static_cast<size_t>(nrows) * job.width * bytes_per_pixel;
 
     const uint8_t* src;
-    if (job.compression == 0 || ch.size >= raw_size) {
-      // uncompressed, or the writer stored the chunk raw (chunks whose
-      // compressed output would not shrink)
-      if (ch.size < raw_size) {
-        job.err->store(3);
-        return;
-      }
-      src = ch.payload;
-    } else if (job.compression == 1) {  // RLE (+ the shared ZIP pre-filter)
-      if (!rle_uncompress(ch.payload, ch.size, inflated.data(), raw_size)) {
-        job.err->store(5);
-        return;
-      }
-      unpredict_deinterleave(inflated.data(), raw_size, raw.data(),
-                             scratch.data());
-      src = raw.data();
-    } else if (job.compression == 4) {  // PIZ
-      if (!piz_uncompress(piz_ctx, ch.payload, ch.size, job.n_file_channels,
-                          job.ch_ptypes, job.width, nrows, raw.data())) {
-        job.err->store(6);
-        return;
-      }
-      src = raw.data();
-    } else if (job.compression == 5) {  // PXR24
-      if (!pxr24_uncompress(ch.payload, ch.size, job.n_file_channels,
-                            job.ch_ptypes, job.width, nrows, inflated,
-                            raw.data())) {
-        job.err->store(7);
-        return;
-      }
-      src = raw.data();
-    } else if (job.compression == 6 || job.compression == 7) {  // B44 / B44A
-      if (!b44_uncompress(ch.payload, ch.size, job.n_file_channels,
-                          job.ch_ptypes, job.width, nrows, raw.data())) {
-        job.err->store(8);
-        return;
-      }
-      src = raw.data();
-    } else if (job.compression == 8 || job.compression == 9) {  // DWAA / DWAB
-      if (!dwa_uncompress(piz_ctx, ch.payload, ch.size, job.n_file_channels,
-                          job.ch_ptypes, *job.ch_names, job.dwa_to_linear,
-                          job.width, nrows, raw.data())) {
-        job.err->store(9);
-        return;
-      }
-      src = raw.data();
-    } else {  // ZIPS / ZIP
-      uLongf dest_len = raw_size;
-      int rc = uncompress(inflated.data(), &dest_len, ch.payload,
-                          static_cast<uLong>(ch.size));
-      if (rc != Z_OK || dest_len != raw_size) {
-        job.err->store(4);
-        return;
-      }
-      unpredict_deinterleave(inflated.data(), raw_size, raw.data(),
-                             scratch.data());
-      src = raw.data();
+    int rc = decompress_payload(bufs, ch.payload, ch.size, job.compression,
+                                job.n_file_channels, job.ch_ptypes,
+                                *job.ch_names, job.dwa_to_linear, job.width,
+                                nrows, raw_size, &src);
+    if (rc) {
+      job.err->store(rc);
+      return;
     }
+    scatter_rows(src, job.width, nrows, 0, row0, job.width,
+                 job.n_file_channels, job.ch_ptypes, job.ch_out,
+                 job.out_channels, job.out);
+  }
+}
 
-    // scanline layout: per row, channels in file order, each a contiguous
-    // width * itemsize run
-    const uint8_t* p = src;
-    for (int r = 0; r < nrows; ++r) {
-      float* out_row = job.out + (static_cast<size_t>(row0 + r) * job.width) *
-                                     job.out_channels;
-      for (int c = 0; c < job.n_file_channels; ++c) {
-        int ptype = job.ch_ptypes[c];
-        int oc = job.ch_out[c];
-        if (oc < 0) {
-          p += job.width * itemsize(ptype);
-          continue;
-        }
-        float* dst = out_row + oc;
-        if (ptype == 1) {
-          const uint16_t* hp = reinterpret_cast<const uint16_t*>(p);
-          for (int x = 0; x < job.width; ++x) {
-            uint16_t h;
-            std::memcpy(&h, hp + x, 2);
-            dst[static_cast<size_t>(x) * job.out_channels] = g_half_table[h];
-          }
-          p += job.width * 2;
-        } else if (ptype == 2) {
-          for (int x = 0; x < job.width; ++x) {
-            float f;
-            std::memcpy(&f, p + 4 * x, 4);
-            dst[static_cast<size_t>(x) * job.out_channels] = f;
-          }
-          p += job.width * 4;
-        } else {  // UINT
-          for (int x = 0; x < job.width; ++x) {
-            uint32_t u;
-            std::memcpy(&u, p + 4 * x, 4);
-            dst[static_cast<size_t>(x) * job.out_channels] =
-                static_cast<float>(u);
-          }
-          p += job.width * 4;
-        }
-      }
+struct TileInfo {
+  int x0, y0, tw, th;
+  const uint8_t* payload;
+  size_t size;
+};
+
+struct TileJob {
+  const std::vector<TileInfo>* tiles;
+  int compression;
+  int width;   // full image
+  int n_file_channels;
+  const int32_t* ch_ptypes;
+  const int32_t* ch_out;
+  int out_channels;
+  float* out;
+  const std::vector<std::string>* ch_names;
+  const uint16_t* dwa_to_linear;
+  std::atomic<int>* next;
+  std::atomic<int>* err;
+};
+
+void tile_worker(TileJob job) {
+  size_t bytes_per_pixel = 0;
+  for (int c = 0; c < job.n_file_channels; ++c)
+    bytes_per_pixel += itemsize(job.ch_ptypes[c]);
+  DecodeBuffers bufs;
+
+  for (;;) {
+    int ti = job.next->fetch_add(1);
+    if (ti >= static_cast<int>(job.tiles->size())) return;
+    if (job.err->load(std::memory_order_relaxed)) return;
+    const TileInfo& t = (*job.tiles)[ti];
+    size_t raw_size = static_cast<size_t>(t.th) * t.tw * bytes_per_pixel;
+
+    const uint8_t* src;
+    int rc = decompress_payload(bufs, t.payload, t.size, job.compression,
+                                job.n_file_channels, job.ch_ptypes,
+                                *job.ch_names, job.dwa_to_linear, t.tw, t.th,
+                                raw_size, &src);
+    if (rc) {
+      job.err->store(rc);
+      return;
     }
+    scatter_rows(src, t.tw, t.th, t.x0, t.y0, job.width, job.n_file_channels,
+                 job.ch_ptypes, job.ch_out, job.out_channels, job.out);
   }
 }
 
@@ -1366,6 +1442,75 @@ int exr_decode_chunks(const uint8_t* data, long long data_size, long long pos,
     std::vector<std::thread> threads;
     threads.reserve(nt);
     for (int t = 0; t < nt; ++t) threads.emplace_back(decode_worker, job);
+    for (auto& th : threads) th.join();
+  }
+  return err.load();
+}
+
+// Tiled single-part images (version bit 0x200). `offsets` are the file
+// offsets of ALL tile chunks (every level, as listed in the offset
+// table); each tile chunk is (dx, dy, lx, ly, size:int32, payload) and
+// non-level-0 tiles are skipped (redundant with the full-resolution
+// plane). Same error codes as exr_decode_chunks.
+int exr_decode_tiles(const uint8_t* data, long long data_size,
+                     const long long* offsets, int n_offsets, int txs,
+                     int tys, int compression, int width, int height,
+                     int n_file_channels, const int32_t* ch_ptypes,
+                     const int32_t* ch_out, int out_channels, float* out,
+                     int n_threads, const char* ch_names,
+                     const uint16_t* dwa_to_linear) {
+  ensure_half_table();
+  if (txs <= 0 || tys <= 0) return 1;
+
+  std::vector<std::string> names;
+  if (compression == 8 || compression == 9) {
+    if (ch_names == nullptr || dwa_to_linear == nullptr) return 10;
+    const char* p_name = ch_names;
+    for (int i = 0; i < n_file_channels; ++i) {
+      names.emplace_back(p_name);
+      p_name += names.back().size() + 1;
+    }
+  }
+
+  std::vector<TileInfo> tiles;
+  tiles.reserve(n_offsets);
+  for (int i = 0; i < n_offsets; ++i) {
+    long long off = offsets[i];
+    if (off < 0 || off + 20 > data_size) return 1;
+    int32_t dx, dy, lx, ly, size;
+    std::memcpy(&dx, data + off, 4);
+    std::memcpy(&dy, data + off + 4, 4);
+    std::memcpy(&lx, data + off + 8, 4);
+    std::memcpy(&ly, data + off + 12, 4);
+    std::memcpy(&size, data + off + 16, 4);
+    if (size < 0 || off + 20 + size > data_size) return 1;
+    if (lx || ly) continue;  // lower mip level
+    long long x0 = static_cast<long long>(dx) * txs;
+    long long y0 = static_cast<long long>(dy) * tys;
+    if (dx < 0 || dy < 0 || x0 >= width || y0 >= height) return 2;
+    int tw = txs, th = tys;
+    if (x0 + tw > width) tw = static_cast<int>(width - x0);
+    if (y0 + th > height) th = static_cast<int>(height - y0);
+    tiles.push_back({static_cast<int>(x0), static_cast<int>(y0), tw, th,
+                     data + off + 20, static_cast<size_t>(size)});
+  }
+
+  std::atomic<int> next{0}, err{0};
+  TileJob job{&tiles,        compression, width,
+              n_file_channels, ch_ptypes, ch_out,
+              out_channels,  out,         &names,
+              dwa_to_linear, &next,       &err};
+
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw <= 0) hw = 4;
+  int nt = n_threads > 0 ? n_threads : hw;
+  if (nt > static_cast<int>(tiles.size())) nt = static_cast<int>(tiles.size());
+  if (nt <= 1) {
+    tile_worker(job);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; ++t) threads.emplace_back(tile_worker, job);
     for (auto& th : threads) th.join();
   }
   return err.load();

@@ -16,7 +16,7 @@ the no-compiler fallback and the parity oracle
 Supported (covers the RENI_HDR dataset and everything typical tooling emits):
 - single-part scanline images, version 2
 - single-part TILED images (ONE_LEVEL, and the level-0 plane of MIPMAP
-  pyramids; Python decode path)
+  pyramids; native threaded tile decode with the Python fallback)
 - pixel types HALF, FLOAT and UINT; channels R, G, B (A and Y read too)
 - compression: NONE, RLE (1 line/chunk), ZIPS (1), ZIP (16),
   PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``),
@@ -100,6 +100,26 @@ def _load_native_locked():
             ctypes.POINTER(ctypes.c_uint16),  # DWA toLinear table (or None)
         ]
         lib.exr_decode_chunks.restype = ctypes.c_int
+        lib.exr_decode_tiles.argtypes = [
+            ctypes.c_char_p,  # data
+            ctypes.c_longlong,  # data_size
+            ctypes.POINTER(ctypes.c_longlong),  # tile-chunk offsets
+            ctypes.c_int,  # n_offsets
+            ctypes.c_int,  # tile x size
+            ctypes.c_int,  # tile y size
+            ctypes.c_int,  # compression
+            ctypes.c_int,  # width
+            ctypes.c_int,  # height
+            ctypes.c_int,  # n_file_channels
+            ctypes.POINTER(ctypes.c_int32),  # ch_ptypes
+            ctypes.POINTER(ctypes.c_int32),  # ch_out
+            ctypes.c_int,  # out_channels
+            ctypes.POINTER(ctypes.c_float),  # out
+            ctypes.c_int,  # n_threads
+            ctypes.c_char_p,  # ch_names (NUL-separated, file order)
+            ctypes.POINTER(ctypes.c_uint16),  # DWA toLinear table (or None)
+        ]
+        lib.exr_decode_tiles.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -511,6 +531,51 @@ def _read_tiled(path, data, pos, attrs, channels, compression, width, height):
     offsets = struct.unpack_from(f"<{n_offsets}q", data, pos)
 
     ch_names = [c[0] for c in channels]
+
+    lib = _load_native()
+    if lib is not None:
+        out_names, replicate_y = _select_channels(ch_names)
+        out_index = {n: i for i, n in enumerate(out_names)}
+        out = np.empty((height, width, len(out_names)), dtype=np.float32)
+        ptypes = np.asarray([pt for _, pt, _, _ in channels], dtype=np.int32)
+        chout = np.asarray(
+            [out_index.get(n, -1) for n in ch_names], dtype=np.int32
+        )
+        offs = np.asarray(offsets, dtype=np.int64)
+        names_blob = b"".join(n.encode("latin-1") + b"\0" for n in ch_names)
+        if compression in (8, 9):
+            from reni_tpu.data import dwa
+
+            to_linear = np.ascontiguousarray(dwa._tables()[0])
+            table_ptr = to_linear.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint16)
+            )
+        else:
+            table_ptr = None
+        rc = lib.exr_decode_tiles(
+            data,
+            len(data),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            n_offsets,
+            txs,
+            tys,
+            compression,
+            width,
+            height,
+            len(channels),
+            ptypes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            chout.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(out_names),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            0,
+            names_blob,
+            table_ptr,
+        )
+        if rc == 0:
+            return np.repeat(out, 3, axis=-1) if replicate_y else out
+        # malformed framing etc: fall through to the Python decoder,
+        # which raises precise errors
+
     ch_dtypes = [
         np.dtype(_PIXEL_DTYPES[pt]).newbyteorder("<") for _, pt, _, _ in channels
     ]

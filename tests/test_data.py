@@ -259,18 +259,31 @@ def test_exr_dwa_roundtrip(tmp_path):
 
 def test_exr_tiled_roundtrip(tmp_path):
     """Single-part tiled images (version bit 0x200): every compression,
-    non-divisible tile grids (edge tiles clamp), bit-exact."""
+    non-divisible tile grids (edge tiles clamp), bit-exact; the native
+    tile decoder (exr_decode_tiles) must match the Python path exactly."""
     from reni_tpu.data import exr
 
     rng = np.random.default_rng(16)
     img = rng.lognormal(0.0, 2.0, (67, 141, 3)).astype(np.float32)
     img[10:20, 5:15] = 0.0
     ref = img.astype(np.float16).astype(np.float32)
-    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24"):
+    have_native = exr._load_native() is not None
+    for comp in ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24", "DWAA"):
+        lossless = comp != "DWAA"
         for tile in ((32, 32), (16, 64)):
             p = str(tmp_path / f"tiled_{comp}.exr")
             exr.write_tiled(p, img, tile=tile, pixel_type="half", compression=comp)
-            np.testing.assert_array_equal(exr.read(p), ref)
+            got = exr.read(p)
+            if lossless:
+                np.testing.assert_array_equal(got, ref)
+            if have_native:
+                saved = exr._lib, exr._lib_failed
+                try:
+                    exr._lib, exr._lib_failed = None, True  # force Python
+                    py = exr.read(p)
+                finally:
+                    exr._lib, exr._lib_failed = saved
+                np.testing.assert_array_equal(got, py)
 
 
 def test_exr_piz_edge_shapes(tmp_path):
