@@ -17,6 +17,9 @@ Supported (covers the RENI_HDR dataset and everything typical tooling emits):
 - single-part scanline images, version 2
 - single-part TILED images (ONE_LEVEL, and the level-0 plane of MIPMAP
   pyramids; native threaded tile decode with the Python fallback)
+- MULTI-PART files (version bit 0x1000): ``read`` returns the first
+  scanline/tiled image part (what OpenEXR-based readers return),
+  ``read_part``/``write_multipart`` expose the rest; deep parts rejected
 - pixel types HALF, FLOAT and UINT; channels R, G, B (A and Y read too)
 - compression: NONE, RLE (1 line/chunk), ZIPS (1), ZIP (16),
   PIZ (32 — the default of many HDRI tools; codec in ``data/piz.py``),
@@ -27,7 +30,7 @@ Supported (covers the RENI_HDR dataset and everything typical tooling emits):
   pinned bit-exact against libOpenEXR)
 - increasing-y line order
 
-Unsupported (raises): deep/multi-part, RIPMAP tiling.
+Unsupported (raises): deep data, RIPMAP tiling.
 
 Format reference: the public OpenEXR file-format documentation
 (openexr.com/en/latest/OpenEXRFileLayout.html).
@@ -372,16 +375,39 @@ def _select_channels(ch_names):
     return list(ch_names), False
 
 
+def _part_geometry(path: str, attrs):
+    """Shared per-(part-)header validation -> (channels, compression,
+    width, height, ymin)."""
+    channels = _parse_channels(attrs["channels"][1])
+    compression = attrs["compression"][1][0]
+    if compression not in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
+        raise ExrError(
+            f"{path}: unknown compression id {compression} (ids 0-9 — "
+            "NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB — are all "
+            "supported); transcode once with any OpenEXR tool, e.g. "
+            "`oiiotool in.exr --compression zip -o out.exr`"
+        )
+    xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
+    width, height = xmax - xmin + 1, ymax - ymin + 1
+    if any(xs != 1 or ys != 1 for _, _, xs, ys in channels):
+        raise ExrError(f"{path}: subsampled channels not supported")
+    return channels, compression, width, height, ymin
+
+
 def read(path: str) -> np.ndarray:
     """Read an EXR file -> float32 array (H, W, C) with channels ordered
-    R, G, B[, A] (or a single luminance channel replicated to 3)."""
+    R, G, B[, A] (or a single luminance channel replicated to 3). For a
+    multi-part file, the first scanline/tiled image part (the part an
+    OpenEXR-based reader like the reference's imageio path returns)."""
     with open(path, "rb") as f:
         data = f.read()
     magic, version = struct.unpack_from("<ii", data, 0)
     if magic != _MAGIC:
         raise ExrError(f"{path}: not an EXR file")
-    if version & 0x800 or version & 0x1000:
-        raise ExrError(f"{path}: deep/multi-part EXR not supported")
+    if version & 0x800:
+        raise ExrError(f"{path}: deep EXR not supported")
+    if version & 0x1000:
+        return _read_multipart(path, data)
 
     pos = 8
     attrs = {}
@@ -397,19 +423,7 @@ def read(path: str) -> np.ndarray:
         attrs[name] = (_type, data[pos : pos + size])
         pos += size
 
-    channels = _parse_channels(attrs["channels"][1])
-    compression = attrs["compression"][1][0]
-    if compression not in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9):
-        raise ExrError(
-            f"{path}: unknown compression id {compression} (ids 0-9 — "
-            "NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB — are all "
-            "supported); transcode once with any OpenEXR tool, e.g. "
-            "`oiiotool in.exr --compression zip -o out.exr`"
-        )
-    xmin, ymin, xmax, ymax = struct.unpack("<4i", attrs["dataWindow"][1])
-    width, height = xmax - xmin + 1, ymax - ymin + 1
-    if any(xs != 1 or ys != 1 for _, _, xs, ys in channels):
-        raise ExrError(f"{path}: subsampled channels not supported")
+    channels, compression, width, height, ymin = _part_geometry(path, attrs)
 
     if version & 0x200:  # single-part tiled image
         return _read_tiled(
@@ -420,7 +434,17 @@ def read(path: str) -> np.ndarray:
     n_chunks = -(-height // lines_per_chunk)
     # skip the offset table; chunks follow in order for increasing-y files
     pos += 8 * n_chunks
+    return _decode_scanlines(
+        path, data, pos, n_chunks, channels, compression, width, height, ymin
+    )
 
+
+def _decode_scanlines(
+    path, data, pos, n_chunks, channels, compression, width, height, ymin
+) -> np.ndarray:
+    """Decode n_chunks scanline chunks ((y, size, payload) framing starting
+    at ``pos``) into the output image."""
+    lines_per_chunk = _COMPRESSION_LINES[compression]
     ch_dtypes = [np.dtype(_PIXEL_DTYPES[pt]).newbyteorder("<") for _, pt, _, _ in channels]
     ch_names = [c[0] for c in channels]
 
@@ -529,7 +553,16 @@ def _read_tiled(path, data, pos, attrs, channels, compression, width, height):
             lh = _level_size(height, lv, round_up)
             n_offsets += (-(-lw // txs)) * (-(-lh // tys))
     offsets = struct.unpack_from(f"<{n_offsets}q", data, pos)
+    return _decode_tiles(
+        path, data, offsets, txs, tys, channels, compression, width, height
+    )
 
+
+def _decode_tiles(
+    path, data, offsets, txs, tys, channels, compression, width, height
+) -> np.ndarray:
+    """Decode tile chunks ((dx, dy, lx, ly, size, payload) framing at the
+    given ``offsets``; non-level-0 tiles skipped) into the output image."""
     ch_names = [c[0] for c in channels]
 
     lib = _load_native()
@@ -556,7 +589,7 @@ def _read_tiled(path, data, pos, attrs, channels, compression, width, height):
             data,
             len(data),
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-            n_offsets,
+            len(offsets),
             txs,
             tys,
             compression,
@@ -603,6 +636,124 @@ def _read_tiled(path, data, pos, attrs, channels, compression, width, height):
     if replicate_y:
         return np.repeat(planes[out_names[0]][..., None], 3, axis=-1)
     return np.stack([planes[n] for n in out_names], axis=-1)
+
+
+def _read_multipart(path: str, data: bytes, *, part: int | None = None) -> np.ndarray:
+    """Multi-part EXR (version bit 0x1000). Decodes the first
+    scanline/tiled image part — the part an OpenEXR-based reader (the
+    reference's imageio path, src/data/datasets.py:80) returns — or the
+    explicitly requested ``part`` index. Deep parts are skipped/rejected.
+
+    Layout (OpenEXR 2.0 multi-part): per-part headers each terminated by an
+    empty attribute name, then one extra NUL ending the header list; one
+    offset table per part (``chunkCount`` int64 entries); every chunk is
+    prefixed with its part number (int32) before the regular scanline
+    (y, size, payload) or tile (dx, dy, lx, ly, size, payload) framing."""
+    mv = memoryview(data)
+    pos = 8
+    headers: list[dict] = []
+    while True:
+        if mv[pos] == 0:  # empty header: end of the header list
+            pos += 1
+            break
+        attrs = {}
+        while mv[pos] != 0:
+            name, pos = _read_cstring(mv, pos)
+            atype, pos = _read_cstring(mv, pos)
+            (size,) = struct.unpack_from("<i", data, pos)
+            pos += 4
+            attrs[name] = (atype, data[pos : pos + size])
+            pos += size
+        pos += 1  # this header's terminator
+        headers.append(attrs)
+
+    tables = []
+    for attrs in headers:
+        (cc,) = struct.unpack("<i", attrs["chunkCount"][1])
+        if cc < 0:
+            raise ExrError(f"{path}: negative chunkCount")
+        tables.append(struct.unpack_from(f"<{cc}q", data, pos))
+        pos += 8 * cc
+
+    def part_type(attrs) -> str:
+        return attrs["type"][1].split(b"\0")[0].decode("latin-1")
+
+    if part is None:
+        sel = next(
+            (
+                i
+                for i, a in enumerate(headers)
+                if part_type(a) in ("scanlineimage", "tiledimage")
+            ),
+            None,
+        )
+        if sel is None:
+            raise ExrError(
+                f"{path}: multi-part file has no scanline/tiled image part "
+                "(deep parts are not supported)"
+            )
+    else:
+        if not 0 <= part < len(headers):
+            raise ExrError(f"{path}: part {part} out of range ({len(headers)} parts)")
+        sel = part
+        if part_type(headers[sel]) not in ("scanlineimage", "tiledimage"):
+            raise ExrError(
+                f"{path}: part {part} is {part_type(headers[sel])!r} — deep "
+                "parts are not supported"
+            )
+
+    attrs = headers[sel]
+    channels, compression, width, height, ymin = _part_geometry(path, attrs)
+
+    # rebuild a single-part chunk stream with the part-number prefix
+    # stripped, so the scanline/tile decoders (native included) apply as-is
+    if part_type(attrs) == "tiledimage":
+        if "tiles" not in attrs:
+            raise ExrError(f"{path}: tiled part without a 'tiles' attribute")
+        txs, tys, mode = struct.unpack_from("<IIB", attrs["tiles"][1], 0)
+        if mode & 0xF == 2:
+            raise ExrError(f"{path}: RIPMAP tiled EXR not supported")
+        parts, offs, cursor = [], [], 0
+        for off in tables[sel]:
+            (pn,) = struct.unpack_from("<i", data, off)
+            if pn != sel:
+                raise ExrError(f"{path}: chunk/part number mismatch")
+            (size,) = struct.unpack_from("<i", data, off + 20)
+            chunk = data[off + 4 : off + 24 + size]
+            offs.append(cursor)
+            parts.append(chunk)
+            cursor += len(chunk)
+        return _decode_tiles(
+            path, b"".join(parts), offs, txs, tys, channels, compression,
+            width, height,
+        )
+
+    parts = []
+    for off in tables[sel]:
+        (pn,) = struct.unpack_from("<i", data, off)
+        if pn != sel:
+            raise ExrError(f"{path}: chunk/part number mismatch")
+        (size,) = struct.unpack_from("<i", data, off + 8)
+        parts.append(data[off + 4 : off + 12 + size])
+    return _decode_scanlines(
+        path, b"".join(parts), 0, len(tables[sel]), channels, compression,
+        width, height, ymin,
+    )
+
+
+def read_part(path: str, part: int) -> np.ndarray:
+    """Read one image part of a multi-part EXR by index (``read`` returns
+    the first image part); single-part files accept only part 0."""
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<ii", data, 0)
+    if magic != _MAGIC:
+        raise ExrError(f"{path}: not an EXR file")
+    if not version & 0x1000:
+        if part != 0:
+            raise ExrError(f"{path}: single-part file has only part 0")
+        return read(path)
+    return _read_multipart(path, data, part=part)
 
 
 def _attr(name: str, atype: str, payload: bytes) -> bytes:
@@ -707,6 +858,103 @@ def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: 
     with open(path, "wb") as f:
         f.write(header)
         f.write(struct.pack(f"<{n_chunks}q", *offsets))
+        f.write(body)
+
+
+def write_multipart(
+    path: str,
+    imgs,
+    *,
+    pixel_type: str = "half",
+    compressions=None,
+    names=None,
+):
+    """Write several (H, W, 3|1) float arrays as a multi-part scanline EXR
+    (version bit 0x1000), one image part each. ``compressions`` is a single
+    compression name or a per-part list (default ZIP); ``names`` the part
+    names (default part0, part1, ...). Parts may differ in size and
+    compression."""
+    imgs = [np.asarray(im, dtype=np.float32) for im in imgs]
+    n_parts = len(imgs)
+    if n_parts == 0:
+        raise ExrError("write_multipart needs at least one image")
+    if compressions is None:
+        compressions = ["ZIP"] * n_parts
+    elif isinstance(compressions, str):
+        compressions = [compressions] * n_parts
+    if names is None:
+        names = [f"part{i}" for i in range(n_parts)]
+    if len(compressions) != n_parts or len(names) != n_parts:
+        raise ExrError("write_multipart: imgs/compressions/names length mismatch")
+    comp_ids = {
+        "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
+        "B44": 6, "B44A": 7, "DWAA": 8, "DWAB": 9,
+    }
+    ptype = 1 if pixel_type == "half" else 2
+    dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
+
+    headers = b""
+    part_chunks: list[list[tuple[int, bytes]]] = []
+    for img, comp_name, pname in zip(imgs, compressions, names):
+        if img.ndim == 2:
+            img = img[..., None]
+        height, width, nch = img.shape
+        if nch == 1:
+            ch_names = ["Y"]
+        elif nch == 3:
+            ch_names = ["B", "G", "R"]  # EXR channels are stored name-sorted
+            img = img[..., ::-1]
+        else:
+            raise ExrError("write_multipart supports 1 or 3 channels per part")
+        comp = comp_ids[comp_name]
+        lines_per_chunk = _COMPRESSION_LINES[comp]
+        n_chunks = -(-height // lines_per_chunk)
+
+        chan_entries = b""
+        for n in ch_names:
+            chan_entries += n.encode() + b"\0" + struct.pack("<i4xii", ptype, 1, 1)
+        chan_entries += b"\0"
+        h = _attr("channels", "chlist", chan_entries)
+        h += _attr("compression", "compression", bytes([comp]))
+        box = struct.pack("<4i", 0, 0, width - 1, height - 1)
+        h += _attr("dataWindow", "box2i", box)
+        h += _attr("displayWindow", "box2i", box)
+        h += _attr("lineOrder", "lineOrder", b"\0")
+        h += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        h += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+        h += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        # the multi-part required attributes
+        h += _attr("name", "string", pname.encode())
+        h += _attr("type", "string", b"scanlineimage")
+        h += _attr("chunkCount", "int", struct.pack("<i", n_chunks))
+        h += b"\0"
+        headers += h
+
+        chunks = []
+        for c in range(n_chunks):
+            row0 = c * lines_per_chunk
+            nrows = min(lines_per_chunk, height - row0)
+            lines = []
+            for r in range(row0, row0 + nrows):
+                for ci in range(len(ch_names)):
+                    lines.append(img[r, :, ci].astype(dt).tobytes())
+            raw = b"".join(lines)
+            payload = _compress_payload(raw, comp, ptype, ch_names, width, nrows)
+            chunks.append((row0, payload))
+        part_chunks.append(chunks)
+
+    header = struct.pack("<ii", _MAGIC, 2 | 0x1000) + headers + b"\0"
+    total_offsets = sum(len(c) for c in part_chunks)
+    data_pos = len(header) + 8 * total_offsets
+    offsets: list[int] = []
+    body = b""
+    for pi, chunks in enumerate(part_chunks):  # tables are per part, in order
+        for row0, payload in chunks:
+            offsets.append(data_pos + len(body))
+            body += struct.pack("<iii", pi, row0, len(payload)) + payload
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(struct.pack(f"<{total_offsets}q", *offsets))
         f.write(body)
 
 

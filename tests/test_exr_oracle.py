@@ -114,3 +114,38 @@ def test_odd_sizes_and_tiny(tmp_path):
             p = str(tmp_path / f"s{shape[0]}x{shape[1]}_{comp}.exr")
             oracle.write(p, img, compression=comp)
             assert np.array_equal(exr.read(p), oracle.read(p)), (shape, comp)
+
+
+def test_multipart_both_directions(tmp_path):
+    """Multi-part files (version bit 0x1000): our reader returns OpenEXR's
+    part-0 decode from read(), every part via read_part matches the
+    library bit-for-bit (native and pure-Python paths), and our
+    write_multipart files are accepted and identically decoded by
+    OpenEXR. Reference counterpart: imageio/OpenEXR reads the first part
+    of a multi-part EXR (src/data/datasets.py:80)."""
+    rng = np.random.default_rng(7)
+    h, w = 21, 37
+    imgs = np.abs(rng.normal(size=(3, h, w, 3))).astype(np.float32)
+    comps = ["ZIP", "PIZ", "DWAA"]
+
+    p = str(tmp_path / "mp_oracle.exr")
+    oracle.write_multipart(p, imgs, comps)
+    assert oracle.part_count(p) == 3
+    assert np.array_equal(exr.read(p), oracle.read_part(p, 0, (h, w)))
+    for i in range(3):
+        ours = exr.read_part(p, i)
+        assert np.array_equal(ours, oracle.read_part(p, i, (h, w))), i
+        saved = exr._lib, exr._lib_failed
+        try:
+            exr._lib, exr._lib_failed = None, True  # force Python path
+            assert np.array_equal(exr.read_part(p, i), ours), i
+        finally:
+            exr._lib, exr._lib_failed = saved
+
+    mine = str(tmp_path / "mp_ours.exr")
+    exr.write_multipart(mine, list(imgs), compressions=comps)
+    assert oracle.part_count(mine) == 3
+    for i in range(3):
+        assert np.array_equal(
+            exr.read_part(mine, i), oracle.read_part(mine, i, (h, w))
+        ), i
