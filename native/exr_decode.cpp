@@ -18,7 +18,12 @@
 // Replaces the native OpenEXR/imageio dependency of the reference
 // (reference: src/data/datasets.py:80, environment.yml `openexr`).
 //
-// Build: g++ -O3 -shared -fPIC exr_decode.cpp -o libexr_decode.so -lz
+// Build: g++ -O3 -shared -fPIC -ffp-contract=off exr_decode.cpp \
+//          -o libexr_decode.so -lz
+// (-ffp-contract=off is load-bearing: the DWA inverse-DCT must round
+// exactly like the numpy float32 ops it is pinned against — FMA
+// contraction on targets that have it would silently break the
+// bit-exact native == Python == libOpenEXR contract.)
 
 #include <array>
 #include <atomic>
@@ -819,6 +824,9 @@ const std::vector<DwaRule>& dwa_default_rules() {
   return rules;
 }
 
+// ASCII-only lowercase — the published implementation's case-insensitive
+// rule match goes through C-locale tolower, leaving non-ASCII bytes
+// untouched (dwa.py::_ascii_lower mirrors this).
 std::string dwa_lower(const std::string& s) {
   std::string out = s;
   for (char& c : out)

@@ -292,6 +292,16 @@ def _parse_rules(payload: bytes, pos: int):
     return rules, end
 
 
+def _ascii_lower(s: str) -> str:
+    """ASCII-only lowercase — the published implementation's
+    case-insensitive rule match goes through C-locale ``tolower``, which
+    (unlike ``str.lower``) leaves non-ASCII bytes untouched; the native
+    decoder mirrors this exactly."""
+    return "".join(
+        chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s
+    )
+
+
 def _classify(channels, rules):
     """channels: [(name, pixel_type)] in file order -> per-channel
     (scheme, cscIdx) and the ordered LOSSY_DCT channel sets.
@@ -307,7 +317,7 @@ def _classify(channels, rules):
         for rsuffix, rcsc, rscheme, rci, rtype in rules:
             if rtype != ptype:
                 continue
-            if (rci and suffix.lower() == rsuffix.lower()) or suffix == rsuffix:
+            if (rci and _ascii_lower(suffix) == _ascii_lower(rsuffix)) or suffix == rsuffix:
                 scheme, csc = rscheme, rcsc
                 break
         info.append((scheme, csc))

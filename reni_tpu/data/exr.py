@@ -401,6 +401,28 @@ def read(path: str) -> np.ndarray:
     OpenEXR-based reader like the reference's imageio path returns)."""
     with open(path, "rb") as f:
         data = f.read()
+    return _read_bytes(path, data)
+
+
+def _parse_attrs(path: str, data: bytes, pos: int):
+    """One attribute list (terminated by an empty name) -> (attrs, pos).
+    Sizes are validated so a corrupt negative size cannot rewind the
+    cursor (which would reparse the same bytes forever)."""
+    attrs = {}
+    mv = memoryview(data)
+    while mv[pos] != 0:
+        name, pos = _read_cstring(mv, pos)
+        _type, pos = _read_cstring(mv, pos)
+        (size,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        if size < 0 or pos + size > len(data):
+            raise ExrError(f"{path}: corrupt attribute size for {name!r}")
+        attrs[name] = (_type, data[pos : pos + size])
+        pos += size
+    return attrs, pos + 1  # consume the terminator
+
+
+def _read_bytes(path: str, data: bytes) -> np.ndarray:
     magic, version = struct.unpack_from("<ii", data, 0)
     if magic != _MAGIC:
         raise ExrError(f"{path}: not an EXR file")
@@ -409,20 +431,7 @@ def read(path: str) -> np.ndarray:
     if version & 0x1000:
         return _read_multipart(path, data)
 
-    pos = 8
-    attrs = {}
-    mv = memoryview(data)
-    while True:
-        if mv[pos] == 0:
-            pos += 1
-            break
-        name, pos = _read_cstring(mv, pos)
-        _type, pos = _read_cstring(mv, pos)
-        (size,) = struct.unpack_from("<i", data, pos)
-        pos += 4
-        attrs[name] = (_type, data[pos : pos + size])
-        pos += size
-
+    attrs, pos = _parse_attrs(path, data, 8)
     channels, compression, width, height, ymin = _part_geometry(path, attrs)
 
     if version & 0x200:  # single-part tiled image
@@ -439,6 +448,58 @@ def read(path: str) -> np.ndarray:
     )
 
 
+class _NativeArgs:
+    """The channel/output marshalling shared by both native entry points.
+    Holds the numpy arrays so their buffers outlive the ctypes call; for
+    DWA it carries the toLinear table — both decoders must index the SAME
+    table (dwa.py's, itself pinned bit-identical to libOpenEXR's baked
+    tables)."""
+
+    def __init__(self, channels, ch_names, compression, width, height):
+        self.out_names, self.replicate_y = _select_channels(ch_names)
+        out_index = {n: i for i, n in enumerate(self.out_names)}
+        # zeros, not empty: a malformed file whose chunks do not cover
+        # every row must never expose uninitialized heap memory
+        self.out = np.zeros(
+            (height, width, len(self.out_names)), dtype=np.float32
+        )
+        self._ptypes = np.asarray(
+            [pt for _, pt, _, _ in channels], dtype=np.int32
+        )
+        self._chout = np.asarray(
+            [out_index.get(n, -1) for n in ch_names], dtype=np.int32
+        )
+        self.names_blob = b"".join(
+            n.encode("latin-1") + b"\0" for n in ch_names
+        )
+        if compression in (8, 9):
+            from reni_tpu.data import dwa
+
+            self._to_linear = np.ascontiguousarray(dwa._tables()[0])
+            self.table_ptr = self._to_linear.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint16)
+            )
+        else:
+            self.table_ptr = None
+
+    @property
+    def ptypes_ptr(self):
+        return self._ptypes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    @property
+    def chout_ptr(self):
+        return self._chout.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    @property
+    def out_ptr(self):
+        return self.out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def result(self):
+        return (
+            np.repeat(self.out, 3, axis=-1) if self.replicate_y else self.out
+        )
+
+
 def _decode_scanlines(
     path, data, pos, n_chunks, channels, compression, width, height, ymin
 ) -> np.ndarray:
@@ -449,25 +510,10 @@ def _decode_scanlines(
     ch_names = [c[0] for c in channels]
 
     out_names, replicate_y = _select_channels(ch_names)
-    out_index = {n: i for i, n in enumerate(out_names)}
 
     lib = _load_native()
     if lib is not None:
-        out = np.empty((height, width, len(out_names)), dtype=np.float32)
-        ptypes = np.asarray([pt for _, pt, _, _ in channels], dtype=np.int32)
-        chout = np.asarray(
-            [out_index.get(n, -1) for n in ch_names], dtype=np.int32
-        )
-        names_blob = b"".join(n.encode("latin-1") + b"\0" for n in ch_names)
-        if compression in (8, 9):
-            # both decoders must index the SAME toLinear table (dwa.py's,
-            # itself pinned bit-identical to libOpenEXR's baked tables)
-            from reni_tpu.data import dwa
-
-            to_linear = np.ascontiguousarray(dwa._tables()[0])
-            table_ptr = to_linear.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
-        else:
-            table_ptr = None
+        na = _NativeArgs(channels, ch_names, compression, width, height)
         rc = lib.exr_decode_chunks(
             data,
             len(data),
@@ -479,21 +525,21 @@ def _decode_scanlines(
             height,
             ymin,
             len(channels),
-            ptypes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            chout.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(out_names),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            na.ptypes_ptr,
+            na.chout_ptr,
+            len(na.out_names),
+            na.out_ptr,
             0,
-            names_blob,
-            table_ptr,
+            na.names_blob,
+            na.table_ptr,
         )
         if rc == 0:
-            return np.repeat(out, 3, axis=-1) if replicate_y else out
+            return na.result()
         # malformed chunk framing etc: fall through to the Python decoder,
         # which raises precise errors
 
     planes = {
-        n: np.empty((height, width), dtype=np.float32) for n in ch_names
+        n: np.zeros((height, width), dtype=np.float32) for n in ch_names
     }
 
     for _ in range(n_chunks):
@@ -567,24 +613,8 @@ def _decode_tiles(
 
     lib = _load_native()
     if lib is not None:
-        out_names, replicate_y = _select_channels(ch_names)
-        out_index = {n: i for i, n in enumerate(out_names)}
-        out = np.empty((height, width, len(out_names)), dtype=np.float32)
-        ptypes = np.asarray([pt for _, pt, _, _ in channels], dtype=np.int32)
-        chout = np.asarray(
-            [out_index.get(n, -1) for n in ch_names], dtype=np.int32
-        )
+        na = _NativeArgs(channels, ch_names, compression, width, height)
         offs = np.asarray(offsets, dtype=np.int64)
-        names_blob = b"".join(n.encode("latin-1") + b"\0" for n in ch_names)
-        if compression in (8, 9):
-            from reni_tpu.data import dwa
-
-            to_linear = np.ascontiguousarray(dwa._tables()[0])
-            table_ptr = to_linear.ctypes.data_as(
-                ctypes.POINTER(ctypes.c_uint16)
-            )
-        else:
-            table_ptr = None
         rc = lib.exr_decode_tiles(
             data,
             len(data),
@@ -596,23 +626,23 @@ def _decode_tiles(
             width,
             height,
             len(channels),
-            ptypes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            chout.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(out_names),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            na.ptypes_ptr,
+            na.chout_ptr,
+            len(na.out_names),
+            na.out_ptr,
             0,
-            names_blob,
-            table_ptr,
+            na.names_blob,
+            na.table_ptr,
         )
         if rc == 0:
-            return np.repeat(out, 3, axis=-1) if replicate_y else out
+            return na.result()
         # malformed framing etc: fall through to the Python decoder,
         # which raises precise errors
 
     ch_dtypes = [
         np.dtype(_PIXEL_DTYPES[pt]).newbyteorder("<") for _, pt, _, _ in channels
     ]
-    planes = {n: np.empty((height, width), dtype=np.float32) for n in ch_names}
+    planes = {n: np.zeros((height, width), dtype=np.float32) for n in ch_names}
     for off in offsets:
         dx, dy, lx, ly, size = struct.unpack_from("<5i", data, off)
         if lx or ly:
@@ -656,22 +686,14 @@ def _read_multipart(path: str, data: bytes, *, part: int | None = None) -> np.nd
         if mv[pos] == 0:  # empty header: end of the header list
             pos += 1
             break
-        attrs = {}
-        while mv[pos] != 0:
-            name, pos = _read_cstring(mv, pos)
-            atype, pos = _read_cstring(mv, pos)
-            (size,) = struct.unpack_from("<i", data, pos)
-            pos += 4
-            attrs[name] = (atype, data[pos : pos + size])
-            pos += size
-        pos += 1  # this header's terminator
+        attrs, pos = _parse_attrs(path, data, pos)
         headers.append(attrs)
 
     tables = []
     for attrs in headers:
         (cc,) = struct.unpack("<i", attrs["chunkCount"][1])
-        if cc < 0:
-            raise ExrError(f"{path}: negative chunkCount")
+        if cc < 0 or pos + 8 * cc > len(data):
+            raise ExrError(f"{path}: corrupt chunkCount")
         tables.append(struct.unpack_from(f"<{cc}q", data, pos))
         pos += 8 * cc
 
@@ -713,6 +735,22 @@ def _read_multipart(path: str, data: bytes, *, part: int | None = None) -> np.nd
         txs, tys, mode = struct.unpack_from("<IIB", attrs["tiles"][1], 0)
         if mode & 0xF == 2:
             raise ExrError(f"{path}: RIPMAP tiled EXR not supported")
+        # the header's chunkCount must cover the full tile grid, or the
+        # decode would silently return uninitialized output rows
+        round_up = (mode >> 4) == 1
+        if mode & 0xF == 0:
+            expected = (-(-width // txs)) * (-(-height // tys))
+        else:
+            expected = sum(
+                (-(-_level_size(width, lv, round_up) // txs))
+                * (-(-_level_size(height, lv, round_up) // tys))
+                for lv in range(_mip_levels(width, height, round_up))
+            )
+        if len(tables[sel]) != expected:
+            raise ExrError(
+                f"{path}: part {sel} chunkCount {len(tables[sel])} != "
+                f"expected {expected} tiles"
+            )
         parts, offs, cursor = [], [], 0
         for off in tables[sel]:
             (pn,) = struct.unpack_from("<i", data, off)
@@ -728,6 +766,12 @@ def _read_multipart(path: str, data: bytes, *, part: int | None = None) -> np.nd
             width, height,
         )
 
+    expected = -(-height // _COMPRESSION_LINES[compression])
+    if len(tables[sel]) != expected:
+        raise ExrError(
+            f"{path}: part {sel} chunkCount {len(tables[sel])} != "
+            f"expected {expected} scanline chunks"
+        )
     parts = []
     for off in tables[sel]:
         (pn,) = struct.unpack_from("<i", data, off)
@@ -752,7 +796,7 @@ def read_part(path: str, part: int) -> np.ndarray:
     if not version & 0x1000:
         if part != 0:
             raise ExrError(f"{path}: single-part file has only part 0")
-        return read(path)
+        return _read_bytes(path, data)
     return _read_multipart(path, data, part=part)
 
 
@@ -794,58 +838,79 @@ def _compress_payload(
     return z if len(z) < len(raw) else raw
 
 
-def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: str = "ZIP"):
-    """Write (H, W, 3|1) float array as a scanline EXR (RGB or Y).
-    Compressions: NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A."""
+# writer-side compression name -> id (read side: _COMPRESSION_NAMES)
+_COMP_IDS = {
+    "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
+    "B44": 6, "B44A": 7, "DWAA": 8, "DWAB": 9,
+}
+
+
+def _prep_image(img, fn_name: str):
+    """(img, channel names) for the writers: grayscale -> Y, RGB stored
+    name-sorted (B, G, R)."""
     img = np.asarray(img, dtype=np.float32)
     if img.ndim == 2:
         img = img[..., None]
-    height, width, nch = img.shape
+    nch = img.shape[-1]
     if nch == 1:
-        names = ["Y"]
-    elif nch == 3:
-        names = ["B", "G", "R"]  # EXR channels are stored name-sorted
-        img = img[..., ::-1]
-    else:
-        raise ExrError("write supports 1 or 3 channels")
+        return img, ["Y"]
+    if nch == 3:
+        return img[..., ::-1], ["B", "G", "R"]
+    raise ExrError(f"{fn_name} supports 1 or 3 channels")
 
-    ptype = 1 if pixel_type == "half" else 2
-    dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
-    comp = {
-        "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
-        "B44": 6, "B44A": 7, "DWAA": 8, "DWAB": 9,
-    }[compression]
-    lines_per_chunk = _COMPRESSION_LINES[comp]
 
+def _common_header_attrs(ch_names, ptype, comp, width, height) -> bytes:
+    """The attribute block every (part) header shares."""
     chan_entries = b""
-    for n in names:
+    for n in ch_names:
         chan_entries += n.encode() + b"\0" + struct.pack("<i4xii", ptype, 1, 1)
     chan_entries += b"\0"
-
-    header = struct.pack("<ii", _MAGIC, 2)
-    header += _attr("channels", "chlist", chan_entries)
-    header += _attr("compression", "compression", bytes([comp]))
     box = struct.pack("<4i", 0, 0, width - 1, height - 1)
-    header += _attr("dataWindow", "box2i", box)
-    header += _attr("displayWindow", "box2i", box)
-    header += _attr("lineOrder", "lineOrder", b"\0")
-    header += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
-    header += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
-    header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
-    header += b"\0"
+    return (
+        _attr("channels", "chlist", chan_entries)
+        + _attr("compression", "compression", bytes([comp]))
+        + _attr("dataWindow", "box2i", box)
+        + _attr("displayWindow", "box2i", box)
+        + _attr("lineOrder", "lineOrder", b"\0")
+        + _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        + _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+        + _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    )
 
-    n_chunks = -(-height // lines_per_chunk)
+
+def _encode_scanline_chunks(img, ch_names, ptype, comp):
+    """(H, W, C) image -> [(row0, compressed payload)] scanline chunks."""
+    height, width = img.shape[:2]
+    dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
+    lines_per_chunk = _COMPRESSION_LINES[comp]
     chunks = []
-    for c in range(n_chunks):
+    for c in range(-(-height // lines_per_chunk)):
         row0 = c * lines_per_chunk
         nrows = min(lines_per_chunk, height - row0)
         lines = []
         for r in range(row0, row0 + nrows):
-            for ci in range(len(names)):
+            for ci in range(len(ch_names)):
                 lines.append(img[r, :, ci].astype(dt).tobytes())
         raw = b"".join(lines)
-        payload = _compress_payload(raw, comp, ptype, names, width, nrows)
+        payload = _compress_payload(raw, comp, ptype, ch_names, width, nrows)
         chunks.append((row0, payload))
+    return chunks
+
+
+def write(path: str, img: np.ndarray, *, pixel_type: str = "half", compression: str = "ZIP"):
+    """Write (H, W, 3|1) float array as a scanline EXR (RGB or Y).
+    Compressions: NONE, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A, DWAA, DWAB."""
+    img, names = _prep_image(img, "write")
+    height, width = img.shape[:2]
+    ptype = 1 if pixel_type == "half" else 2
+    comp = _COMP_IDS[compression]
+
+    header = struct.pack("<ii", _MAGIC, 2)
+    header += _common_header_attrs(names, ptype, comp, width, height)
+    header += b"\0"
+
+    chunks = _encode_scanline_chunks(img, names, ptype, comp)
+    n_chunks = len(chunks)
 
     offset_table_pos = len(header)
     data_pos = offset_table_pos + 8 * n_chunks
@@ -886,61 +951,23 @@ def write_multipart(
         names = [f"part{i}" for i in range(n_parts)]
     if len(compressions) != n_parts or len(names) != n_parts:
         raise ExrError("write_multipart: imgs/compressions/names length mismatch")
-    comp_ids = {
-        "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
-        "B44": 6, "B44A": 7, "DWAA": 8, "DWAB": 9,
-    }
     ptype = 1 if pixel_type == "half" else 2
-    dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
 
     headers = b""
     part_chunks: list[list[tuple[int, bytes]]] = []
     for img, comp_name, pname in zip(imgs, compressions, names):
-        if img.ndim == 2:
-            img = img[..., None]
-        height, width, nch = img.shape
-        if nch == 1:
-            ch_names = ["Y"]
-        elif nch == 3:
-            ch_names = ["B", "G", "R"]  # EXR channels are stored name-sorted
-            img = img[..., ::-1]
-        else:
-            raise ExrError("write_multipart supports 1 or 3 channels per part")
-        comp = comp_ids[comp_name]
-        lines_per_chunk = _COMPRESSION_LINES[comp]
-        n_chunks = -(-height // lines_per_chunk)
+        img, ch_names = _prep_image(img, "write_multipart")
+        height, width = img.shape[:2]
+        comp = _COMP_IDS[comp_name]
+        chunks = _encode_scanline_chunks(img, ch_names, ptype, comp)
 
-        chan_entries = b""
-        for n in ch_names:
-            chan_entries += n.encode() + b"\0" + struct.pack("<i4xii", ptype, 1, 1)
-        chan_entries += b"\0"
-        h = _attr("channels", "chlist", chan_entries)
-        h += _attr("compression", "compression", bytes([comp]))
-        box = struct.pack("<4i", 0, 0, width - 1, height - 1)
-        h += _attr("dataWindow", "box2i", box)
-        h += _attr("displayWindow", "box2i", box)
-        h += _attr("lineOrder", "lineOrder", b"\0")
-        h += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
-        h += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
-        h += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        h = _common_header_attrs(ch_names, ptype, comp, width, height)
         # the multi-part required attributes
         h += _attr("name", "string", pname.encode())
         h += _attr("type", "string", b"scanlineimage")
-        h += _attr("chunkCount", "int", struct.pack("<i", n_chunks))
+        h += _attr("chunkCount", "int", struct.pack("<i", len(chunks)))
         h += b"\0"
         headers += h
-
-        chunks = []
-        for c in range(n_chunks):
-            row0 = c * lines_per_chunk
-            nrows = min(lines_per_chunk, height - row0)
-            lines = []
-            for r in range(row0, row0 + nrows):
-                for ci in range(len(ch_names)):
-                    lines.append(img[r, :, ci].astype(dt).tobytes())
-            raw = b"".join(lines)
-            payload = _compress_payload(raw, comp, ptype, ch_names, width, nrows)
-            chunks.append((row0, payload))
         part_chunks.append(chunks)
 
     header = struct.pack("<ii", _MAGIC, 2 | 0x1000) + headers + b"\0"
@@ -971,41 +998,15 @@ def write_tiled(
     tile's dimensions; edge tiles are clamped. Primarily the fixture
     generator for the tiled read path (no OpenEXR oracle in this
     environment)."""
-    img = np.asarray(img, dtype=np.float32)
-    if img.ndim == 2:
-        img = img[..., None]
-    height, width, nch = img.shape
-    if nch == 1:
-        names = ["Y"]
-    elif nch == 3:
-        names = ["B", "G", "R"]  # EXR channels are stored name-sorted
-        img = img[..., ::-1]
-    else:
-        raise ExrError("write_tiled supports 1 or 3 channels")
-
+    img, names = _prep_image(img, "write_tiled")
+    height, width = img.shape[:2]
     ptype = 1 if pixel_type == "half" else 2
     dt = np.dtype(_PIXEL_DTYPES[ptype]).newbyteorder("<")
-    comp = {
-        "NONE": 0, "RLE": 1, "ZIPS": 2, "ZIP": 3, "PIZ": 4, "PXR24": 5,
-        "B44": 6, "B44A": 7, "DWAA": 8, "DWAB": 9,
-    }[compression]
+    comp = _COMP_IDS[compression]
     txs, tys = int(tile[1]), int(tile[0])  # tile=(rows, cols) -> x, y sizes
 
-    chan_entries = b""
-    for n in names:
-        chan_entries += n.encode() + b"\0" + struct.pack("<i4xii", ptype, 1, 1)
-    chan_entries += b"\0"
-
     header = struct.pack("<ii", _MAGIC, 2 | 0x200)
-    header += _attr("channels", "chlist", chan_entries)
-    header += _attr("compression", "compression", bytes([comp]))
-    box = struct.pack("<4i", 0, 0, width - 1, height - 1)
-    header += _attr("dataWindow", "box2i", box)
-    header += _attr("displayWindow", "box2i", box)
-    header += _attr("lineOrder", "lineOrder", b"\0")
-    header += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
-    header += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
-    header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += _common_header_attrs(names, ptype, comp, width, height)
     # tiledesc: xSize, ySize, mode (ONE_LEVEL=0, ROUND_DOWN=0)
     header += _attr("tiles", "tiledesc", struct.pack("<IIB", txs, tys, 0))
     header += b"\0"

@@ -629,3 +629,45 @@ def test_exr_corrupt_files_fail_cleanly(tmp_path):
                 exr.read(q)  # may also succeed (flip in slack bytes)
             except Exception:
                 pass
+
+
+def test_exr_corrupt_header_fields_raise(tmp_path):
+    """The two header-level corruption classes a chunk-region fuzz never
+    hits: a negative attribute size must raise (not rewind the parse
+    cursor and hang), and a multi-part chunkCount that undercounts the
+    image must raise (not return uninitialized output rows)."""
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(5)
+    img = np.abs(rng.normal(size=(33, 47, 3))).astype(np.float32)
+
+    # negative attribute size: patch dataWindow's size int to a value that
+    # rewinds the cursor exactly to the attribute's start
+    p = str(tmp_path / "neg.exr")
+    exr.write(p, img, compression="ZIP")
+    blob = bytearray(open(p, "rb").read())
+    key = b"dataWindow\0box2i\0"
+    at = blob.index(key)
+    rewind = -(len(key) + 4)
+    blob[at + len(key) : at + len(key) + 4] = int(rewind).to_bytes(
+        4, "little", signed=True
+    )
+    q = str(tmp_path / "neg_c.exr")
+    with open(q, "wb") as f:
+        f.write(blob)
+    with pytest.raises(exr.ExrError, match="corrupt attribute size"):
+        exr.read(q)
+
+    # multipart chunkCount undercount: patch part 0's chunkCount 3 -> 1
+    mp = str(tmp_path / "mp.exr")
+    exr.write_multipart(mp, [img, img], compressions="ZIP")
+    blob = bytearray(open(mp, "rb").read())
+    key = b"chunkCount\0int\0" + (4).to_bytes(4, "little")
+    at = blob.index(key) + len(key)
+    assert int.from_bytes(blob[at : at + 4], "little") == 3
+    blob[at : at + 4] = (1).to_bytes(4, "little")
+    q = str(tmp_path / "mp_c.exr")
+    with open(q, "wb") as f:
+        f.write(blob)
+    with pytest.raises(exr.ExrError, match="chunkCount"):
+        exr.read(q)
