@@ -28,7 +28,8 @@ Supported (covers the RENI_HDR dataset and everything typical tooling emits):
   DWAA (32) / DWAB (256; lossy JPEG-style DCT; reference codec in
   ``data/dwa.py``, native scanline decode in ``exr_decode.cpp`` — both
   pinned bit-exact against libOpenEXR)
-- increasing-y line order
+- both line orders (every chunk carries its own y, so INCREASING_Y and
+  DECREASING_Y storage both place rows correctly)
 
 Unsupported (raises): deep data, RIPMAP tiling.
 

@@ -671,3 +671,60 @@ def test_exr_corrupt_header_fields_raise(tmp_path):
         f.write(blob)
     with pytest.raises(exr.ExrError, match="chunkCount"):
         exr.read(q)
+
+
+def test_exr_decreasing_y_line_order(tmp_path):
+    """DECREASING_Y files (lineOrder=1) must decode identically: chunks
+    are self-describing (each carries its y), so storage order is
+    irrelevant to both the native and the Python decoder."""
+    import struct
+
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(9)
+    img = np.abs(rng.normal(size=(33, 47, 3))).astype(np.float32)
+    p = str(tmp_path / "inc.exr")
+    exr.write(p, img, compression="ZIP")
+    ref = exr.read(p)
+
+    # rewrite with DECREASING_Y: flip lineOrder, store chunks in reverse,
+    # rebuild the offset table
+    data = open(p, "rb").read()
+    blob = bytearray(data)
+    key = b"lineOrder\0lineOrder\0"
+    at = blob.index(key) + len(key) + 4
+    assert blob[at] == 0
+    blob[at] = 1
+    pos = 8
+    while blob[pos] != 0:
+        pos = data.index(b"\0", pos) + 1  # attr name
+        pos = data.index(b"\0", pos) + 1  # attr type
+        (size,) = struct.unpack_from("<i", data, pos)
+        pos += 4 + size
+    pos += 1
+    n_chunks = -(-33 // 16)
+    table_pos, chunk_pos = pos, pos + 8 * n_chunks
+    chunks, cp = [], chunk_pos
+    for _ in range(n_chunks):
+        _, size = struct.unpack_from("<ii", data, cp)
+        chunks.append(bytes(blob[cp : cp + 8 + size]))
+        cp += 8 + size
+    chunks.reverse()
+    offsets, body = [], b""
+    for ch in chunks:
+        offsets.append(chunk_pos + len(body))
+        body += ch
+    q = str(tmp_path / "dec.exr")
+    with open(q, "wb") as f:
+        f.write(
+            bytes(blob[:table_pos])
+            + struct.pack(f"<{n_chunks}q", *offsets)
+            + body
+        )
+    np.testing.assert_array_equal(exr.read(q), ref)
+    saved = exr._lib, exr._lib_failed
+    try:
+        exr._lib, exr._lib_failed = None, True  # force Python path
+        np.testing.assert_array_equal(exr.read(q), ref)
+    finally:
+        exr._lib, exr._lib_failed = saved
