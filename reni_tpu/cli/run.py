@@ -40,6 +40,56 @@ from reni_tpu.train.visualize import example_images
 from reni_tpu.utils.config import experiment_name, get_cfg_defaults
 
 
+# -- hang watchdog -----------------------------------------------------------
+#
+# The tunneled TPU worker can wedge SILENTLY (a dispatch RPC that never
+# returns), which --retries cannot catch: the blocked PJRT call never
+# raises, signals are not delivered to a thread stuck in C, and a client
+# whose RPC thread is wedged cannot be trusted to retry in-process. The
+# honest recovery is process-level: a daemon thread watches the trainer's
+# per-segment progress and, when RENI_TPU_HANG_EXIT_S seconds pass with
+# none, prints a diagnostic and hard-exits with code 114 — an external
+# loop (``until python -m reni_tpu.cli.run ... --retries N; do :; done``
+# or any supervisor) reruns, and the run resumes from the newest periodic
+# checkpoint exactly like a crash would. Disabled unless the env var is
+# set. (Observed round 3: a run stalled 28+ minutes mid-epoch with the
+# process asleep in a poll loop and zero CPU accumulation.)
+
+_PROGRESS = {"ts": time.time(), "what": "startup"}
+
+
+def _note_progress(what: str) -> None:
+    _PROGRESS["ts"] = time.time()
+    _PROGRESS["what"] = what
+
+
+def _arm_hang_watchdog() -> None:
+    hang_s = float(os.environ.get("RENI_TPU_HANG_EXIT_S", "0") or 0)
+    if hang_s <= 0:
+        return
+    import sys
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(min(hang_s / 4, 60.0))
+            idle = time.time() - _PROGRESS["ts"]
+            if idle > hang_s:
+                print(
+                    f"[reni_tpu] HANG: no trainer progress for {idle:.0f}s "
+                    f"(> RENI_TPU_HANG_EXIT_S={hang_s:.0f}); last progress: "
+                    f"{_PROGRESS['what']!r}. The TPU dispatch is presumed "
+                    "wedged — exiting 114; rerun (or let a supervisor rerun) "
+                    "with --retries/--resume to continue from the newest "
+                    "checkpoint.",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                os._exit(114)
+
+    threading.Thread(target=watch, daemon=True, name="hang-watchdog").start()
+
+
 def _deadline_reached(deadline: float | None) -> bool:
     """TRAINER.MAX_RUNTIME check, COLLECTIVE across processes: host 0's
     clock decides, so either every host stops after this segment or none
@@ -128,6 +178,7 @@ def run_task(
     resume_path: str | None = None,
     primary: bool = True,
 ):
+    _note_progress(f"{task} setup")
     model_cfg = RENIConfig.from_reni_cfg(
         config.RENI, task, tpu_cfg=config.get("TPU")
     )
@@ -181,6 +232,7 @@ def run_task(
     def callback(state_now, epoch, metrics_chunk, res):
         params_now = state_now.params
         loss = float(np.asarray(metrics_chunk["loss"])[-1])
+        _note_progress(f"{task} epoch {epoch} @ {res}")
         logged = {
             f"{task.lower()}_{k}": float(np.asarray(v)[-1])
             for k, v in metrics_chunk.items()
@@ -221,6 +273,7 @@ def run_task(
             # images are skipped here (renders logged at task end); scalars
             # and resumable checkpoints flow like the other tasks
             loss = float(np.asarray(metrics_chunk["loss"])[-1])
+            _note_progress(f"{task} epoch {epoch}")
             logger.log_scalars(
                 epoch,
                 {
@@ -616,6 +669,7 @@ def cli(argv=None) -> int:
     args = parser.parse_args(argv)
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.cfg_path)
+    _arm_hang_watchdog()
     run_with_retries(
         cfg, mesh=args.mesh, resume=args.resume, retries=args.retries,
         profile_dir=args.profile

@@ -356,3 +356,29 @@ def test_profile_flag_writes_trace(tmp_path, tiny_dataset):
     main(cfg, profile_dir=str(prof))
     traces = list(prof.rglob("*.trace.json.gz")) + list(prof.rglob("*.xplane.pb"))
     assert traces, f"no trace artifacts under {prof}"
+
+
+def test_hang_watchdog_exits_114(tmp_path):
+    """RENI_TPU_HANG_EXIT_S: a wedged dispatch (simulated by a sleep with
+    no progress notes) must hard-exit with the distinctive code 114 so a
+    supervisor can rerun with --retries/--resume."""
+    import subprocess
+    import sys
+    import time as _time
+
+    code = (
+        "import os, time\n"
+        "from reni_tpu.cli import run\n"
+        "run._arm_hang_watchdog()\n"
+        "time.sleep(30)\n"  # simulated wedge: never calls _note_progress
+        "raise SystemExit(0)\n"
+    )
+    t0 = _time.time()
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env={**os.environ, "RENI_TPU_HANG_EXIT_S": "1",
+             "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"},
+        timeout=120,
+    )
+    assert proc.returncode == 114
+    assert _time.time() - t0 < 60
