@@ -728,3 +728,66 @@ def test_exr_decreasing_y_line_order(tmp_path):
         np.testing.assert_array_equal(exr.read(q), ref)
     finally:
         exr._lib, exr._lib_failed = saved
+
+
+def test_exr_multipart_tiled_part(tmp_path):
+    """The tiledimage branch of the multi-part reader: synthesize a
+    1-part multipart container around write_tiled's chunks (part-number
+    prefix added, required name/type/chunkCount attrs) and require the
+    decode to equal the single-part tiled decode on both paths."""
+    import struct
+
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(21)
+    img = rng.lognormal(0.0, 1.0, (37, 53, 3)).astype(np.float32)
+    p = str(tmp_path / "tiled.exr")
+    exr.write_tiled(p, img, tile=(16, 16), compression="PIZ")
+    ref = exr.read(p)
+    data = open(p, "rb").read()
+
+    # walk the single-part header, collecting attrs verbatim
+    pos = 8
+    attrs_blob = b""
+    while data[pos] != 0:
+        start = pos
+        pos = data.index(b"\0", pos) + 1  # name
+        pos = data.index(b"\0", pos) + 1  # type
+        (size,) = struct.unpack_from("<i", data, pos)
+        pos += 4 + size
+        attrs_blob += data[start:pos]
+    pos += 1
+    nx, ny = -(-53 // 16), -(-37 // 16)
+    n_chunks = nx * ny
+    offsets_in = struct.unpack_from(f"<{n_chunks}q", data, pos)
+
+    header = attrs_blob
+    header += exr._attr("name", "string", b"t0")
+    header += exr._attr("type", "string", b"tiledimage")
+    header += exr._attr("chunkCount", "int", struct.pack("<i", n_chunks))
+    header += b"\0" + b"\0"  # end of part header, end of header list
+    out = struct.pack("<ii", exr._MAGIC, 2 | 0x1000) + header
+    table_pos = len(out)
+    out += b"\0" * (8 * n_chunks)
+    offsets, body = [], b""
+    for off in offsets_in:
+        (size,) = struct.unpack_from("<i", data, off + 16)
+        chunk = struct.pack("<i", 0) + data[off : off + 20 + size]
+        offsets.append(table_pos + 8 * n_chunks + len(body))
+        body += chunk
+    out = (
+        out[:table_pos]
+        + struct.pack(f"<{n_chunks}q", *offsets)
+        + body
+    )
+    q = str(tmp_path / "mp_tiled.exr")
+    with open(q, "wb") as f:
+        f.write(out)
+
+    np.testing.assert_array_equal(exr.read(q), ref)
+    saved = exr._lib, exr._lib_failed
+    try:
+        exr._lib, exr._lib_failed = None, True  # force Python path
+        np.testing.assert_array_equal(exr.read(q), ref)
+    finally:
+        exr._lib, exr._lib_failed = saved
