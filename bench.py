@@ -134,7 +134,40 @@ def bench_torch_reference(batch: int = 10, width: int = 64, steps: int = 5) -> f
     return batch * npix * steps / dt
 
 
+def _arm_watchdog(timeout_s: float) -> None:
+    """The tunneled TPU can wedge silently (a dispatch RPC that never
+    returns; even jax.devices() in a fresh process blocks until the pool
+    recovers). An unattended bench must emit SOMETHING rather than hang
+    forever: after ``timeout_s`` with no completion, print an error JSON
+    line and hard-exit 114 (same convention as the CLI's
+    RENI_TPU_HANG_EXIT_S watchdog)."""
+    import os
+    import threading
+
+    def watch():
+        time.sleep(timeout_s)
+        print(
+            json.dumps(
+                {
+                    "metric": "directional_samples_per_sec_per_chip_siren_fwd_bwd",
+                    "value": 0.0,
+                    "unit": "samples/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"bench exceeded {timeout_s:.0f}s — TPU "
+                    "dispatch presumed wedged",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(114)
+
+    threading.Thread(target=watch, daemon=True, name="bench-watchdog").start()
+
+
 def main():
+    import os
+
+    _arm_watchdog(float(os.environ.get("RENI_TPU_BENCH_TIMEOUT_S", "1500")))
     # all shipped execution paths, so the record catches a regression in any
     # of them: xla exact-sine (reference numerics), xla fast-sine, pallas
     # fast-sine (the fused kernel, the CLI default on TPU), the fused FiLM
