@@ -72,6 +72,8 @@ def main(argv=None):
         )
     )
     report["psnr_per_image"] = [float(x) for x in report["psnr_per_image"]]
+    if "ssim_per_image" in report:
+        report["ssim_per_image"] = [float(x) for x in report["ssim_per_image"]]
     report.update(
         ev.equivariance_eval(
             model, params, images, res,

@@ -40,6 +40,65 @@ def psnr_per_image(pred, target) -> np.ndarray:
     return np.asarray(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)))
 
 
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return g / g.sum()
+
+
+def _filter2_valid(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2-D correlation with a 1-D window, 'valid' padding.
+
+    img: (..., H, W). The Gaussian window is symmetric so correlation ==
+    convolution (Wang's ssim.m uses filter2, i.e. correlation)."""
+    k = win.shape[0]
+    # rows: moving weighted sum along H
+    def conv1d(a, axis):
+        n = a.shape[axis]
+        sl = [slice(None)] * a.ndim
+        out = 0.0
+        for i in range(k):  # k=11 static -> unrolled, fine under jit
+            sl[axis] = slice(i, n - k + 1 + i)
+            out = out + win[i] * a[tuple(sl)]
+        return out
+
+    return conv1d(conv1d(img, -2), -1)
+
+
+def ssim_per_image(pred, target, *, data_range: float = 1.0) -> np.ndarray:
+    """Structural similarity (Wang et al. 2004), the paper's second metric.
+
+    Canonical formulation: 11x11 Gaussian window sigma=1.5, K1=0.01,
+    K2=0.03, population (uniform-weight) covariance, 'valid' padding —
+    identical to the reference MATLAB ssim.m and to
+    skimage.metrics.structural_similarity(gaussian_weights=True,
+    use_sample_covariance=False). Computed per channel and averaged.
+
+    pred/target: (S, C, H, W) in display space [0, data_range].
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    if pred.shape[-2] < 11 or pred.shape[-1] < 11:
+        raise ValueError(
+            f"ssim needs images >= 11x11 (the Gaussian window); got "
+            f"{pred.shape[-2]}x{pred.shape[-1]}"
+        )
+    win = _gaussian_window()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    mu_x = _filter2_valid(pred, win)
+    mu_y = _filter2_valid(target, win)
+    xx = _filter2_valid(pred * pred, win) - mu_x * mu_x
+    yy = _filter2_valid(target * target, win) - mu_y * mu_y
+    xy = _filter2_valid(pred * target, win) - mu_x * mu_y
+
+    s = ((2 * mu_x * mu_y + c1) * (2 * xy + c2)) / (
+        (mu_x**2 + mu_y**2 + c1) * (xx + yy + c2)
+    )
+    return np.asarray(jnp.mean(s, axis=tuple(range(1, s.ndim))))
+
+
 def reconstruction_psnr(
     model: RENIModel,
     params,
@@ -57,7 +116,12 @@ def reconstruction_psnr(
     pred = _display(out, res, unnormalise, is_hdr)
     target = _display(images, res, unnormalise, is_hdr)
     per = psnr_per_image(pred, target)
-    return {"psnr_per_image": per, "psnr_mean": float(per.mean())}
+    report = {"psnr_per_image": per, "psnr_mean": float(per.mean())}
+    if res[0] >= 11 and res[1] >= 11:
+        ssim = ssim_per_image(pred, target)
+        report["ssim_per_image"] = ssim
+        report["ssim_mean"] = float(ssim.mean())
+    return report
 
 
 def equivariance_eval(
