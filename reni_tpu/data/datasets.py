@@ -9,9 +9,10 @@ transfer at all.
 Behavioural parity with the reference:
 - `.exr` files listed with natural sort (datasets.py:44-46), decoded to
   float32 RGB by the in-repo codec (`reni_tpu.data.exr` + the native fast
-  path `native/exr_decode.cpp`; NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A,
-  scanline + single-part tiled — the reference used native OpenEXR
-  through imageio, src/data/datasets.py:80);
+  path `native/exr_decode.cpp`; every non-deep compression the format
+  defines — NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB — scanline +
+  tiled + multi-part, pinned against system OpenEXR — the reference used
+  native OpenEXR through imageio, src/data/datasets.py:80);
 - LDR images via PIL, alpha dropped, scaled to [0, 1] (datasets.py:141-146);
 - `nan_to_num` after transforms (datasets.py:73);
 - log-domain dataset min/max discovery when the minmax arg is empty

@@ -39,6 +39,7 @@ Format reference: the public OpenEXR file-format documentation
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import os
 import struct
@@ -59,6 +60,45 @@ _lib_failed = False
 
 
 _LOAD_LOCK = threading.Lock()
+
+# native decoder error codes >= 3 mean a chunk PAYLOAD failed to decompress
+# (3 short raw chunk, 4 zlib, 5 RLE, 6 PIZ, 7 PXR24, 8 B44, 9 DWA, 10 setup)
+# — the file is corrupt and re-decoding it through the pure-Python path
+# would only repeat the (for PIZ/DWA ~5000x slower) work before raising the
+# same conclusion. rc 1/2 are framing/coordinate parse errors where the
+# Python decoder raises a more precise message cheaply.
+_NATIVE_PAYLOAD_ERRORS = {
+    3: "chunk stored raw but shorter than its scanlines",
+    4: "zlib inflate failed",
+    5: "RLE decode failed",
+    6: "PIZ decode failed",
+    7: "PXR24 decode failed",
+    8: "B44 decode failed",
+    9: "DWA decode failed",
+    10: "decoder setup failed",
+}
+
+
+def _raise_on_payload_corruption(path: str, rc: int) -> None:
+    if rc in _NATIVE_PAYLOAD_ERRORS:
+        raise ExrError(
+            f"{path}: corrupt EXR — {_NATIVE_PAYLOAD_ERRORS[rc]} "
+            f"(native decoder error {rc})"
+        )
+
+
+@contextlib.contextmanager
+def force_python_decoder():
+    """Disable the native decoder inside the block (parity tests, or
+    debugging a suspected native/Python divergence). Not thread-safe with
+    concurrent reads on other threads."""
+    global _lib, _lib_failed
+    saved = _lib, _lib_failed
+    _lib, _lib_failed = None, True
+    try:
+        yield
+    finally:
+        _lib, _lib_failed = saved
 
 
 def _load_native():
@@ -536,8 +576,9 @@ def _decode_scanlines(
         )
         if rc == 0:
             return na.result()
-        # malformed chunk framing etc: fall through to the Python decoder,
-        # which raises precise errors
+        _raise_on_payload_corruption(path, rc)
+        # malformed chunk framing (rc 1/2): fall through to the Python
+        # decoder, which raises precise errors
 
     planes = {
         n: np.zeros((height, width), dtype=np.float32) for n in ch_names
@@ -549,6 +590,11 @@ def _decode_scanlines(
         payload = data[pos : pos + size]
         pos += size
         row0 = y - ymin
+        if not 0 <= row0 < height:
+            raise ExrError(
+                f"{path}: scanline chunk y={y} outside the data window "
+                f"[{ymin}, {ymin + height - 1}]"
+            )
         nrows = min(lines_per_chunk, height - row0)
         raw = _decode_payload(payload, compression, channels, width, nrows)
         off = 0
@@ -637,7 +683,8 @@ def _decode_tiles(
         )
         if rc == 0:
             return na.result()
-        # malformed framing etc: fall through to the Python decoder,
+        _raise_on_payload_corruption(path, rc)
+        # malformed framing (rc 1/2): fall through to the Python decoder,
         # which raises precise errors
 
     ch_dtypes = [
@@ -652,7 +699,7 @@ def _decode_tiles(
         x0, y0 = dx * txs, dy * tys
         tw = min(txs, width - x0)
         th = min(tys, height - y0)
-        if tw <= 0 or th <= 0:
+        if dx < 0 or dy < 0 or tw <= 0 or th <= 0:
             raise ExrError(f"{path}: tile ({dx},{dy}) outside the data window")
         raw = _decode_payload(payload, compression, channels, tw, th)
         offb = 0

@@ -117,12 +117,8 @@ def test_exr_native_decoder_matches_python(tmp_path):
             p = str(tmp_path / f"{comp}_{ptype}.exr")
             exr.write(p, img, pixel_type=ptype, compression=comp)
             native = exr.read(p)
-            saved = exr._lib, exr._lib_failed
-            try:
-                exr._lib, exr._lib_failed = None, True  # force Python path
+            with exr.force_python_decoder():
                 ref = exr.read(p)
-            finally:
-                exr._lib, exr._lib_failed = saved
             np.testing.assert_array_equal(native, ref)
 
 
@@ -233,6 +229,9 @@ def test_exr_dwa_roundtrip(tmp_path):
         # the same bound here)
         assert np.abs(back - half).max() < 0.08, comp
         assert abs(float(np.mean(back - half))) < 1e-3, comp
+
+
+def test_exr_pxr24_roundtrip(tmp_path):
     """PXR24: bit-exact for HALF; FLOAT is 24-bit-rounded BY DESIGN
     (ImfPxr24Compressor drops 8 mantissa bits), so rel err <= 2^-16 and
     re-encoding the decoded image is a fixed point."""
@@ -277,12 +276,8 @@ def test_exr_tiled_roundtrip(tmp_path):
             if lossless:
                 np.testing.assert_array_equal(got, ref)
             if have_native:
-                saved = exr._lib, exr._lib_failed
-                try:
-                    exr._lib, exr._lib_failed = None, True  # force Python
+                with exr.force_python_decoder():
                     py = exr.read(p)
-                finally:
-                    exr._lib, exr._lib_failed = saved
                 np.testing.assert_array_equal(got, py)
 
 
@@ -722,12 +717,8 @@ def test_exr_decreasing_y_line_order(tmp_path):
             + body
         )
     np.testing.assert_array_equal(exr.read(q), ref)
-    saved = exr._lib, exr._lib_failed
-    try:
-        exr._lib, exr._lib_failed = None, True  # force Python path
+    with exr.force_python_decoder():
         np.testing.assert_array_equal(exr.read(q), ref)
-    finally:
-        exr._lib, exr._lib_failed = saved
 
 
 def test_exr_multipart_tiled_part(tmp_path):
@@ -785,9 +776,91 @@ def test_exr_multipart_tiled_part(tmp_path):
         f.write(out)
 
     np.testing.assert_array_equal(exr.read(q), ref)
-    saved = exr._lib, exr._lib_failed
-    try:
-        exr._lib, exr._lib_failed = None, True  # force Python path
+    with exr.force_python_decoder():
         np.testing.assert_array_equal(exr.read(q), ref)
+
+
+def test_exr_misplaced_chunk_coordinates_raise(tmp_path):
+    """A chunk whose coordinates fall outside the data window must raise —
+    in BOTH decoders. Negative indices would otherwise wrap in the Python
+    path and silently misplace rows (write the wrong image and report
+    success)."""
+    import struct
+
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(9)
+    img = np.abs(rng.normal(size=(12, 16, 3))).astype(np.float32)
+
+    # scanline: patch the first chunk's y field to sit below the window
+    p = str(tmp_path / "sl.exr")
+    exr.write(p, img, pixel_type="half", compression="NONE")
+    blob = bytearray(open(p, "rb").read())
+    attrs, pos = exr._parse_attrs(p, bytes(blob), 8)
+    (first_off,) = struct.unpack_from("<q", blob, pos)
+    struct.pack_into("<i", blob, first_off, -3)  # y = -3 (ymin is 0)
+    q = str(tmp_path / "sl_bad.exr")
+    open(q, "wb").write(bytes(blob))
+    with pytest.raises(exr.ExrError, match="outside the data window"):
+        with exr.force_python_decoder():
+            exr.read(q)
+    with pytest.raises(exr.ExrError):
+        exr.read(q)  # native rc=2 falls through; Python then raises
+
+    # tiled: patch the first tile's dy field negative
+    p = str(tmp_path / "tl.exr")
+    exr.write_tiled(p, img, tile=(8, 8), pixel_type="half", compression="NONE")
+    blob = bytearray(open(p, "rb").read())
+    attrs, pos = exr._parse_attrs(p, bytes(blob), 8)
+    (first_off,) = struct.unpack_from("<q", blob, pos)
+    struct.pack_into("<i", blob, first_off + 4, -1)  # dy = -1
+    q = str(tmp_path / "tl_bad.exr")
+    open(q, "wb").write(bytes(blob))
+    with pytest.raises(exr.ExrError, match="outside the data window"):
+        with exr.force_python_decoder():
+            exr.read(q)
+    with pytest.raises(exr.ExrError):
+        exr.read(q)
+
+
+def test_exr_payload_corruption_raises_without_python_redecode(tmp_path):
+    """When the native decoder reports a corrupt chunk PAYLOAD (codes
+    3-10), the reader raises immediately instead of re-decoding the whole
+    file through the (for PIZ ~5000x slower) pure-Python path."""
+    import struct
+
+    from reni_tpu.data import exr
+
+    if exr._load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    # smooth gradient: genuinely PIZ-compressed (noise would be stored raw,
+    # where zeroed bytes decode "successfully" to wrong pixels)
+    y, x = np.mgrid[0:40, 0:32].astype(np.float32)
+    img = np.stack([y / 40, x / 32, (x + y) / 72], axis=-1)
+    p = str(tmp_path / "piz.exr")
+    exr.write(p, img, pixel_type="half", compression="PIZ")
+    blob = bytearray(open(p, "rb").read())
+    attrs, pos = exr._parse_attrs(p, bytes(blob), 8)
+    (first_off,) = struct.unpack_from("<q", blob, pos)
+    (size,) = struct.unpack_from("<i", blob, first_off + 4)
+    raw_size = 32 * 32 * 3 * 2
+    assert size < raw_size, "fixture must be compressed, not stored raw"
+    # zero out the middle quarter of the first chunk's Huffman payload
+    start = first_off + 8 + size // 2
+    blob[start : start + size // 4] = bytes(size // 4)
+    q = str(tmp_path / "piz_bad.exr")
+    open(q, "wb").write(bytes(blob))
+    calls = []
+    orig = exr._decode_payload
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    exr._decode_payload = counting
+    try:
+        with pytest.raises(exr.ExrError, match="native decoder error"):
+            exr.read(q)
     finally:
-        exr._lib, exr._lib_failed = saved
+        exr._decode_payload = orig
+    assert not calls, "Python decode ran despite a native payload error"

@@ -135,12 +135,8 @@ def test_multipart_both_directions(tmp_path):
     for i in range(3):
         ours = exr.read_part(p, i)
         assert np.array_equal(ours, oracle.read_part(p, i, (h, w))), i
-        saved = exr._lib, exr._lib_failed
-        try:
-            exr._lib, exr._lib_failed = None, True  # force Python path
+        with exr.force_python_decoder():
             assert np.array_equal(exr.read_part(p, i), ours), i
-        finally:
-            exr._lib, exr._lib_failed = saved
 
     mine = str(tmp_path / "mp_ours.exr")
     exr.write_multipart(mine, list(imgs), compressions=comps)
