@@ -228,6 +228,17 @@ def run_task(
     shard_latents = mesh is not None and bool(
         config.TPU.get("SHARD_LATENTS", False)
     )
+    # TPU.STREAM_DATA: host-resident dataset, one double-buffered batch
+    # transfer per step (datasets larger than HBM); single-controller only
+    stream = bool(config.TPU.get("STREAM_DATA", False))
+    if stream and jax.process_count() > 1:
+        raise SystemExit(
+            "TPU.STREAM_DATA is single-controller: drop it for multi-host "
+            "runs (the dataset stages device-resident there)"
+        )
+    # streaming keeps even the staging source on the host; image grids index
+    # a handful of rows out of it, so host arrays serve them fine too
+    stage_images_at = dataset.images_host_at if stream else dataset.images_at
 
     def callback(state_now, epoch, metrics_chunk, res):
         params_now = state_now.params
@@ -260,7 +271,7 @@ def run_task(
                     mode=mode,
                     n_images=int(config.TRAINER.LOGGER.NUMBER_OF_IMAGES),
                     key=k_img,
-                    dataset_images=dataset.images_at(res),
+                    dataset_images=stage_images_at(res),
                     unnormalise=dataset.unnormalise,
                     is_hdr=is_hdr,
                 )
@@ -346,7 +357,7 @@ def run_task(
             model,
             params,
             task_cfg,
-            dataset.images_at,
+            stage_images_at,
             k_fit,
             mask_path=task_cfg.mask_path if task_cfg.apply_mask else None,
             mesh=mesh,
@@ -356,6 +367,7 @@ def run_task(
             start_epoch=start_epoch,
             initial_opt_state=opt_loader,
             reaugment=reaugment,
+            stream=stream,
         )
 
     final = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR,

@@ -145,6 +145,7 @@ class EnvironmentMapDataset:
         self._extra_transforms = self._build_extra(np.random.default_rng(seed))
 
         self._cache: dict[tuple[int, int], jnp.ndarray] = {}
+        self._host_cache: dict[tuple[int, int], np.ndarray] = {}
 
     def _build_extra(self, rng):
         return [T.get_transform(n, a, rng) for n, a in self._extra_config]
@@ -152,10 +153,13 @@ class EnvironmentMapDataset:
     def __len__(self) -> int:
         return len(self._native)
 
-    def images_at(
+    def images_host_at(
         self, resolution: tuple[int, int], epoch: int | None = None
-    ) -> jnp.ndarray:
-        """Device array (S, H*W, 3) of transformed images at a resolution.
+    ) -> np.ndarray:
+        """HOST array (S, H*W, 3) of transformed images at a resolution —
+        the staging source for ``images_at`` and the input for the
+        streaming trainer (``TPU.STREAM_DATA``), which keeps the dataset
+        in host RAM and transfers one batch per optimizer step.
 
         Pipeline per image: resize from native (bilinear, no antialias) ->
         extra transforms -> normalise -> nan_to_num -> flatten.
@@ -167,8 +171,8 @@ class EnvironmentMapDataset:
         41-71). Without it, random transforms are drawn once at load."""
         res = tuple(resolution)
         reaugment = epoch is not None and self.has_random_transforms
-        if not reaugment and res in self._cache:
-            return self._cache[res]
+        if not reaugment and res in self._host_cache:
+            return self._host_cache[res]
         h, w = res
         extra = (
             self._build_extra(np.random.default_rng((self._seed, epoch)))
@@ -191,7 +195,21 @@ class EnvironmentMapDataset:
         else:
             with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
                 out = list(ex.map(stage, self._native))
-        arr = jnp.asarray(np.stack(out).astype(np.float32))
+        arr = np.stack(out).astype(np.float32)
+        if not reaugment:
+            self._host_cache[res] = arr
+        return arr
+
+    def images_at(
+        self, resolution: tuple[int, int], epoch: int | None = None
+    ) -> jnp.ndarray:
+        """Device array (S, H*W, 3): ``images_host_at`` staged to HBM (and
+        cached there) — the whole-dataset-resident fast path."""
+        res = tuple(resolution)
+        reaugment = epoch is not None and self.has_random_transforms
+        if not reaugment and res in self._cache:
+            return self._cache[res]
+        arr = jnp.asarray(self.images_host_at(res, epoch))
         if not reaugment:
             self._cache[res] = arr
         return arr

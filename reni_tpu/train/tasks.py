@@ -402,6 +402,91 @@ def run_stage(
     return state, merged
 
 
+def streaming_stage_runner(mesh=None):
+    """A drop-in for ``run_stage`` that keeps the dataset on the HOST and
+    transfers one batch per optimizer step — for datasets larger than
+    device HBM (``TPU.STREAM_DATA``). Double-buffered: the step dispatch
+    is asynchronous, so the next batch's host gather + device_put overlap
+    the current step's device compute.
+
+    Trades the whole-stage ``lax.scan`` program for one jitted-step
+    dispatch per batch (host->device traffic = batch bytes/step; at the
+    published workload ~10 MB/step against a ~26 ms step, well under PCIe
+    or tunnel bandwidth). Semantics are identical to ``run_stage``: same
+    batches, same zero-masked ragged tail, same step_fn — only the
+    residency of the image source differs.
+
+    With ``mesh`` (single-process), state and batches are placed with the
+    same NamedShardings the resident sharded runner uses, and the fused
+    kernel dispatches through its shard_map. Multi-process streaming is
+    not implemented (each host would need its addressable shard of every
+    batch)."""
+    if mesh is not None and jax.process_count() > 1:
+        raise NotImplementedError(
+            "TPU.STREAM_DATA is single-controller: multi-process runs "
+            "stage the dataset device-resident (drop STREAM_DATA or run "
+            "single-process)"
+        )
+
+    def run(step_fn, state, images, n_epochs, batch_size):
+        images = np.asarray(images)  # host-resident source of truth
+        dataset_size = images.shape[0]
+        if mesh is not None:
+            from reni_tpu.parallel.mesh import (
+                batch_sharding,
+                kernel_mesh,
+                pad_batch_to,
+                put_sharded,
+                state_sharding,
+            )
+
+            batch_size = pad_batch_to(batch_size, mesh.shape["data"])
+            batch_sh, vec_sh, _ = batch_sharding(mesh)
+            if images.shape[1] % mesh.shape["pixel"] != 0:
+                # non-divisible pixel axis: replicate it (the same fallback
+                # shard_stage_data applies to the resident source array)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                batch_sh = NamedSharding(mesh, PartitionSpec("data", None, None))
+            state = jax.tree.map(put_sharded, state, state_sharding(mesh, state))
+            put_batch = lambda x: jax.device_put(x, batch_sh)
+            put_vec = lambda v: jax.device_put(v, vec_sh)
+            kmesh = lambda: kernel_mesh(mesh)
+        else:
+            import contextlib
+
+            put_batch = jax.device_put
+            put_vec = jax.device_put
+            kmesh = contextlib.nullcontext
+
+        idx, bmask = make_batches(dataset_size, batch_size)
+        nb = idx.shape[0]
+        # per-batch index/mask vectors are tiny: stage them all once
+        idx_d = [put_vec(idx[i]) for i in range(nb)]
+        bmask_d = [put_vec(np.asarray(bmask[i])) for i in range(nb)]
+
+        jstep = jax.jit(step_fn)
+        epoch_metrics = []
+        buf = put_batch(images[idx[0]])
+        with kmesh():
+            for e in range(n_epochs):
+                ms = []
+                for b in range(nb):
+                    state, m = jstep(state, (buf, idx_d[b], bmask_d[b]))
+                    if not (e == n_epochs - 1 and b == nb - 1):
+                        # async dispatch above is already in flight; this
+                        # gather+transfer overlaps the device step
+                        buf = put_batch(images[idx[(b + 1) % nb]])
+                    ms.append(m)
+                epoch_metrics.append(
+                    jax.tree.map(lambda *xs: jnp.stack(xs).mean(), *ms)
+                )
+        metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *epoch_metrics)
+        return state, metrics
+
+    return run
+
+
 def fit_task(
     model: RENIModel,
     params: Params,
@@ -419,6 +504,7 @@ def fit_task(
     initial_opt_state=None,
     reaugment: bool = False,
     shard_latents: bool = False,
+    stream: bool = False,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
 
@@ -445,7 +531,21 @@ def fit_task(
     task_cfg.validate()
     batch_size = task_cfg.batch_size
     stage_runner = run_stage
-    if mesh is not None:
+    if stream:
+        if shard_latents:
+            raise NotImplementedError(
+                "TPU.STREAM_DATA + TPU.SHARD_LATENTS: row-sharded latent "
+                "tables require the scan-resident runner"
+            )
+        # host-resident dataset, one (double-buffered) batch transfer per
+        # step — for datasets larger than HBM. Pass images_at returning
+        # host arrays (dataset.images_host_at) to avoid a device staging.
+        stage_runner = streaming_stage_runner(mesh)
+        if mesh is not None:
+            from reni_tpu.parallel.mesh import pad_batch_to
+
+            batch_size = pad_batch_to(batch_size, mesh.shape["data"])
+    elif mesh is not None:
         from reni_tpu.parallel.mesh import pad_batch_to, sharded_stage_runner
 
         batch_size = pad_batch_to(batch_size, mesh.shape["data"])

@@ -201,6 +201,12 @@ _DEFAULTS = {
         # the matmul, dominates the SIREN hot path on TPU — 2-4x faster trunk.
         # Set false for bitwise sine parity with the reference.
         "FAST_SINE": True,
+        # keep the dataset in HOST RAM and transfer one (double-buffered)
+        # batch per optimizer step instead of staging the whole set in HBM —
+        # for datasets larger than device memory (train/tasks.py
+        # streaming_stage_runner). Identical semantics; trades the
+        # whole-stage scan for per-step dispatch. Single-controller only.
+        "STREAM_DATA": False,
     },
 }
 

@@ -382,3 +382,27 @@ def test_hang_watchdog_exits_114(tmp_path):
     )
     assert proc.returncode == 114
     assert _time.time() - t0 < 60
+
+
+def test_cli_chain_with_stream_data(tmp_path, tiny_dataset):
+    """TPU.STREAM_DATA: the full two-task chain through the host-resident /
+    per-step-transfer trainer must reproduce the device-resident chain's
+    loss trajectory exactly (same steps, same batches)."""
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    cfg.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / "runs_resident")
+    results_res, _ = main(cfg)
+
+    cfg2 = _tiny_config(tmp_path, tiny_dataset)
+    cfg2.TPU.STREAM_DATA = True
+    cfg2.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / "runs_stream")
+    results_str, log_dir = main(cfg2)
+
+    for task in ("FIT_DECODER", "FIT_LATENT"):
+        m_res = results_res[task][1][f"{task.lower()}_loss"]
+        m_str = results_str[task][1][f"{task.lower()}_loss"]
+        np.testing.assert_allclose(
+            np.asarray(m_res), np.asarray(m_str), atol=1e-4, rtol=1e-4
+        )
+    # artifacts exist as usual
+    ckpt_dir = os.path.join(log_dir, "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "fit_latent_final.npz"))

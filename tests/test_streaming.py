@@ -1,0 +1,164 @@
+"""TPU.STREAM_DATA: the host-resident / per-step-transfer trainer path must
+be semantically identical to the device-resident whole-stage-scan path —
+same batches, same zero-masked ragged tail, same optimizer trajectory."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reni_tpu.core import sphere
+from reni_tpu.models.reni import RENIConfig, RENIModel
+from reni_tpu.parallel import mesh as pmesh
+from reni_tpu.train import tasks
+from reni_tpu.train.optim import OptimConfig, build_optimizer
+
+
+def _setup(n_images=5, width=32, batch_size=2, latent_dim=4):
+    model = RENIModel(
+        RENIConfig(
+            model_type="VariationalAutoDecoder",
+            equivariance="SO2",
+            latent_dim=latent_dim,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=n_images)
+    directions = sphere.get_directions(width)
+    sineweight = sphere.get_sineweight(width)
+    optimizer = build_optimizer(
+        OptimConfig(lr_start=1e-3, lr_end=1e-4, epochs=4, steps_per_epoch=3)
+    )
+    step_fn = tasks.make_fit_decoder_step(
+        model, optimizer, directions, sineweight, kld_weighting=1e-4
+    )
+    state = tasks.init_train_state(model, params, optimizer, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(n_images, (width // 2) * width, 3)).astype(
+        np.float32
+    )
+    return model, step_fn, state, images, batch_size
+
+
+def _trees_close(a, b, tol):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=tol, rtol=tol)
+
+
+def test_streaming_matches_resident_single_device():
+    """Ragged dataset (5 images, batch 2): streaming and resident runners
+    execute the identical step sequence — parameters agree to fp noise and
+    per-epoch metrics match."""
+    model, step_fn, state, images, bs = _setup()
+    n_epochs = 4
+
+    st_res, m_res = tasks.run_stage(step_fn, state, jnp.asarray(images), n_epochs, bs)
+    run_stream = tasks.streaming_stage_runner()
+    st_str, m_str = run_stream(step_fn, state, images, n_epochs, bs)
+
+    _trees_close(st_res.params, st_str.params, 1e-6)
+    assert set(m_res.keys()) == set(m_str.keys())
+    for k in m_res:
+        assert np.asarray(m_res[k]).shape == (n_epochs,)
+        np.testing.assert_allclose(
+            np.asarray(m_res[k]), np.asarray(m_str[k]), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_streaming_matches_resident_on_mesh():
+    """Streaming over a 4x2 data x pixel mesh: the sharded per-batch
+    device_put path reproduces the unsharded resident fit."""
+    model, step_fn, state, images, bs = _setup(n_images=8, batch_size=4)
+    n_epochs = 3
+
+    st_res, m_res = tasks.run_stage(step_fn, state, jnp.asarray(images), n_epochs, bs)
+
+    mesh = pmesh.make_mesh(n_data=4, n_pixel=2)
+    run_stream = tasks.streaming_stage_runner(mesh)
+    st_str, m_str = run_stream(step_fn, state, images, n_epochs, bs)
+
+    _trees_close(st_res.params, st_str.params, 1e-5)
+    for k in m_res:
+        np.testing.assert_allclose(
+            np.asarray(m_res[k]), np.asarray(m_str[k]), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_fit_task_stream_flag_end_to_end():
+    """The public fit_task(stream=True) path (host images_at callable, the
+    curriculum, callbacks) matches stream=False."""
+    width = 32
+    model = RENIModel(
+        RENIConfig(
+            model_type="AutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=3)
+    rng = np.random.default_rng(5)
+    host_imgs = {
+        (16, 32): rng.normal(size=(3, 512, 3)).astype(np.float32),
+        (8, 16): rng.normal(size=(3, 128, 3)).astype(np.float32),
+    }
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
+        batch_size=2,
+        epochs=8,
+        multi_res_training=True,
+        initial_resolution=(8, 16),
+        final_resolution=(16, 32),
+        curriculum=(4,),
+    )
+
+    def images_at(res, epoch=None):
+        return host_imgs[tuple(res)]
+
+    seen = []
+
+    def cb(state, epoch, metrics, res):
+        seen.append(epoch)
+
+    p_stream, m_stream = tasks.fit_task(
+        model, params, cfg, images_at, jax.random.PRNGKey(1),
+        stream=True, callback_every=2, callback=cb,
+    )
+    p_res, m_res = tasks.fit_task(
+        model, params, cfg,
+        lambda res, epoch=None: jnp.asarray(host_imgs[tuple(res)]),
+        jax.random.PRNGKey(1),
+    )
+    _trees_close(p_stream, p_res, 1e-6)
+    for k in m_res:
+        np.testing.assert_allclose(
+            np.asarray(m_res[k]), np.asarray(m_stream[k]), atol=1e-5, rtol=1e-5
+        )
+    assert seen == [2, 4, 6, 8]  # callbacks fired at segment boundaries
+
+
+def test_stream_rejects_shard_latents():
+    import pytest
+
+    model, step_fn, state, images, bs = _setup()
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
+        batch_size=2,
+        epochs=1,
+        multi_res_training=False,
+        final_resolution=(16, 32),
+    )
+    with pytest.raises(NotImplementedError, match="SHARD_LATENTS"):
+        tasks.fit_task(
+            model, model.init(jax.random.PRNGKey(0), dataset_size=5), cfg,
+            lambda res, epoch=None: images, jax.random.PRNGKey(1),
+            stream=True, shard_latents=True,
+        )
