@@ -331,6 +331,13 @@ def _max_steps_per_program() -> int:
 
 
 @functools.lru_cache(maxsize=64)
+def _jit_step(step_fn: Callable):
+    """Memoized single-step jit (the streaming runner's analog of
+    _scan_runner): one compile per (step_fn, shapes), not per segment."""
+    return jax.jit(step_fn)
+
+
+@functools.lru_cache(maxsize=64)
 def _scan_runner(step_fn: Callable):
     """The compiled whole-stage program for a step function: scan(epochs) of
     scan(batches) of step_fn.
@@ -465,7 +472,9 @@ def streaming_stage_runner(mesh=None):
         idx_d = [put_vec(idx[i]) for i in range(nb)]
         bmask_d = [put_vec(np.asarray(bmask[i])) for i in range(nb)]
 
-        jstep = jax.jit(step_fn)
+        # memoized like _scan_runner: run() re-enters every callback
+        # segment, and a fresh jit wrapper per segment would recompile
+        jstep = _jit_step(step_fn)
         epoch_metrics = []
         buf = put_batch(images[idx[0]])
         with kmesh():
