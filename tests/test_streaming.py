@@ -162,3 +162,51 @@ def test_stream_rejects_shard_latents():
             lambda res, epoch=None: images, jax.random.PRNGKey(1),
             stream=True, shard_latents=True,
         )
+
+
+def test_streaming_mesh_with_fused_kernel():
+    """Streaming + mesh + USE_PALLAS (the shipped default trunk): the
+    kernel_mesh context must route the per-batch jitted step through the
+    shard_map-partitioned fused kernel, matching the XLA streaming fit."""
+    def build(use_pallas):
+        model = RENIModel(
+            RENIConfig(
+                model_type="AutoDecoder",
+                conditioning="Cond-by-Concat",
+                equivariance="SO2",
+                latent_dim=4,
+                hidden_layers=1,
+                hidden_features=128,  # lane-aligned: kernel-supported width
+                output_activation=None,
+                use_pallas=use_pallas,
+                pallas_trunk="float32",
+            )
+        )
+        params = model.init(jax.random.PRNGKey(0), dataset_size=8)
+        directions = sphere.get_directions(32)
+        sineweight = sphere.get_sineweight(32)
+        optimizer = build_optimizer(
+            OptimConfig(lr_start=1e-3, lr_end=1e-4, epochs=2, steps_per_epoch=2)
+        )
+        step_fn = tasks.make_fit_decoder_step(
+            model, optimizer, directions, sineweight, kld_weighting=1e-4
+        )
+        state = tasks.init_train_state(
+            model, params, optimizer, jax.random.PRNGKey(1)
+        )
+        return step_fn, state
+
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(8, 512, 3)).astype(np.float32)
+    mesh = pmesh.make_mesh(n_data=4, n_pixel=2)
+    run_stream = tasks.streaming_stage_runner(mesh)
+
+    step_k, state_k = build(True)
+    st_k, m_k = run_stream(step_k, state_k, images, 2, 4)
+    step_x, state_x = build(False)
+    st_x, m_x = run_stream(step_x, state_x, images, 2, 4)
+
+    _trees_close(st_k.params, st_x.params, 5e-5)
+    np.testing.assert_allclose(
+        np.asarray(m_k["loss"]), np.asarray(m_x["loss"]), atol=1e-5, rtol=1e-5
+    )
