@@ -11,10 +11,17 @@ Endpoints (JSON in, JSON out; radiance in the model's normalised space):
 
 - ``GET  /healthz``                      -> {"ok": true, ...}
 - ``POST /decode``  {"z": [[...x3]...] | [[[...]]], "width": W,
-                     "format": "list" | "base64"}
+                     "format": "list" | "base64", "rotation_y": degrees}
       z: one (N, 3) latent or a batch (B, N, 3). Decodes the full
       equirectangular grid at W x W/2 -> {"shape": [B, H, W, 3], "data"}.
 - ``POST /decode_idx`` {"idx": [0, 3], "width": W, ...}  (needs --checkpoint)
+
+``rotation_y`` rotates the decoded illumination about the up axis by
+rotating the LATENTS (Z @ R) — the model's rotation-equivariance
+(reference src/models/RENI.py:23-53): no re-fit, and for SO2/SO3
+decoders the output equals a pixel-space rotation of the unrotated
+decode. Positive degrees shift the equirectangular map rightward
+(width * deg/360 columns).
 
 Directions grids are cached per width; the artifact's symbolic (B, P)
 export means any batch/resolution compiles once per distinct shape.
@@ -76,17 +83,28 @@ class DecoderService:
                 self._dirs[width] = d
             return d
 
-    def decode(self, z: np.ndarray, width: int) -> np.ndarray:
-        """z: (B, N, 3) -> (B, W//2, W, 3) radiance."""
+    def decode(self, z: np.ndarray, width: int, rotation_y: float = 0.0) -> np.ndarray:
+        """z: (B, N, 3) -> (B, W//2, W, 3) radiance; rotation_y in degrees
+        rotates the illumination via latent rotation (positive = the
+        equirectangular map shifts right by width * deg / 360 columns)."""
+        if rotation_y:
+            from reni_tpu.core import sphere
+
+            r = sphere.rotation_y(-np.deg2rad(float(rotation_y))).astype(
+                np.float32
+            )
+            z = z @ r
         d = self.directions(width)
         d = np.broadcast_to(d, (z.shape[0],) + d.shape[1:])
         out = np.asarray(self.fn(z.astype(np.float32), d))
         return out.reshape(z.shape[0], width // 2, width, out.shape[-1])
 
-    def decode_idx(self, idx, width: int) -> np.ndarray:
+    def decode_idx(self, idx, width: int, rotation_y: float = 0.0) -> np.ndarray:
         if self.latents is None:
             raise ValueError("no latent table: start the daemon with --checkpoint")
-        return self.decode(self.latents[np.asarray(idx, dtype=np.int64)], width)
+        return self.decode(
+            self.latents[np.asarray(idx, dtype=np.int64)], width, rotation_y
+        )
 
 
 def _encode(out: np.ndarray, fmt: str) -> dict:
@@ -136,6 +154,7 @@ def make_handler(service: DecoderService):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 width = int(req.get("width", 128))
                 fmt = req.get("format", "list")
+                rot = float(req.get("rotation_y", 0.0))
                 # request caps: a single oversized width/batch would
                 # allocate O(B * W^2) floats on host AND device and could
                 # OOM-kill the daemon (advisor round 2)
@@ -161,7 +180,7 @@ def make_handler(service: DecoderService):
                             },
                         )
                         return
-                    out = service.decode(z, width)
+                    out = service.decode(z, width, rot)
                 elif self.path == "/decode_idx":
                     idx = np.asarray(req["idx"]).reshape(-1)
                     if idx.size > service.max_batch:
@@ -173,7 +192,7 @@ def make_handler(service: DecoderService):
                             },
                         )
                         return
-                    out = service.decode_idx(idx, width)
+                    out = service.decode_idx(idx, width, rot)
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return

@@ -158,3 +158,57 @@ def test_http_serving_daemon(tmp_path):
         assert code == 400 and "error" in body
     finally:
         httpd.shutdown()
+
+
+def test_http_rotation_equivariance(tmp_path):
+    """The daemon's rotation_y parameter: rotating the illumination through
+    the HTTP surface must equal a pixel-space column roll of the unrotated
+    decode (the SO2 decoder's equivariance, end to end)."""
+    import json
+    import threading
+    import urllib.request
+
+    from reni_tpu.cli.serve import make_server
+    from reni_tpu.train import checkpoint as ckpt
+
+    cfg = RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=32,
+                     equivariance="SO2", output_activation=None)
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(7), dataset_size=2)
+    ck = str(tmp_path / "ck")
+    ckpt.save_checkpoint(ck, params, model_config=cfg, metadata={"epoch": 1})
+    art = str(tmp_path / "dec.jaxexport")
+    serve.save_exported(serve.export_decoder(model, params), art)
+
+    httpd = make_server(art, ck, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, json.dumps(payload).encode(),
+                {"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        width, cols = 32, 4  # 4 columns = 45 degrees at W=32
+        plain = np.asarray(
+            post("/decode_idx", {"idx": [0, 1], "width": width})["data"]
+        )
+        rot = np.asarray(
+            post("/decode_idx", {"idx": [0, 1], "width": width,
+                                 "rotation_y": 360.0 * cols / width})["data"]
+        )
+        np.testing.assert_allclose(
+            rot, np.roll(plain, cols, axis=2), atol=2e-5
+        )
+        # /decode takes it too
+        Z = np.asarray(model.latents(params, jnp.arange(1)))
+        r1 = np.asarray(post("/decode", {"z": Z.tolist(), "width": width,
+                                         "rotation_y": 90.0})["data"])
+        r0 = np.asarray(post("/decode", {"z": Z.tolist(), "width": width})["data"])
+        np.testing.assert_allclose(r1, np.roll(r0, width // 4, axis=2), atol=2e-5)
+    finally:
+        httpd.shutdown()
