@@ -278,6 +278,10 @@ def run_task(
                 logger.log_image(f"{task.lower()}_images", grid, epoch)
 
     if task == "FIT_INVERSE":
+        if stream and primary:
+            # inverse fits run on small test splits; their memory is the
+            # render targets, not the env maps — streaming buys nothing
+            print("[reni_tpu] TPU.STREAM_DATA ignored for FIT_INVERSE")
         from reni_tpu.render.inverse import fit_inverse
 
         def inverse_callback(state_now, epoch, metrics_chunk, res):
