@@ -229,9 +229,11 @@ def run_task(
         config.TPU.get("SHARD_LATENTS", False)
     )
     # TPU.STREAM_DATA: host-resident dataset, one double-buffered batch
-    # transfer per step (datasets larger than HBM); single-controller only
+    # transfer per step (datasets larger than HBM); single-controller only.
+    # FIT_INVERSE never consumes the flag (it is ignored below), so only
+    # tasks that would stream abort on multi-host.
     stream = bool(config.TPU.get("STREAM_DATA", False))
-    if stream and jax.process_count() > 1:
+    if stream and task != "FIT_INVERSE" and jax.process_count() > 1:
         raise SystemExit(
             "TPU.STREAM_DATA is single-controller: drop it for multi-host "
             "runs (the dataset stages device-resident there)"

@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import base64
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -55,9 +56,18 @@ class DecoderService:
         self.max_width = int(max_width)
         self.max_batch = int(max_batch)
         self.latents = None
+        # rotation_y relies on rotation equivariance; known only when a
+        # checkpoint (carrying the model config) is given — None = unknown
+        self.equivariance = None
         if checkpoint_path is not None:
             from reni_tpu.train import checkpoint as ckpt
 
+            try:
+                self.equivariance = ckpt.load_model_config(
+                    checkpoint_path
+                ).equivariance
+            except Exception:
+                pass  # older/partial checkpoints: leave unknown
             params, _ = ckpt.load_checkpoint(checkpoint_path)
             lat = params.get("latents") or {}
             table = lat.get("mu", lat.get("Z"))
@@ -155,6 +165,23 @@ def make_handler(service: DecoderService):
                 width = int(req.get("width", 128))
                 fmt = req.get("format", "list")
                 rot = float(req.get("rotation_y", 0.0))
+                if not math.isfinite(rot):
+                    # json.loads accepts NaN/Infinity; a NaN rotation
+                    # matrix would 200 back all-NaN radiance
+                    self._reply(
+                        400, {"error": f"rotation_y must be finite, got {rot}"}
+                    )
+                    return
+                if rot and service.equivariance == "None":
+                    self._reply(
+                        400,
+                        {
+                            "error": "this decoder was trained with "
+                            "EQUIVARIANCE None — latent rotation does not "
+                            "rotate its illumination"
+                        },
+                    )
+                    return
                 # request caps: a single oversized width/batch would
                 # allocate O(B * W^2) floats on host AND device and could
                 # OOM-kill the daemon (advisor round 2)

@@ -212,6 +212,10 @@ class EnvironmentMapDataset:
         arr = jnp.asarray(self.images_host_at(res, epoch))
         if not reaugment:
             self._cache[res] = arr
+            # single residency on the resident path: once the device copy
+            # exists, the host stack is dead weight (only the streaming
+            # trainer reads _host_cache, and it never calls images_at)
+            self._host_cache.pop(res, None)
         return arr
 
 

@@ -61,12 +61,14 @@ _lib_failed = False
 
 _LOAD_LOCK = threading.Lock()
 
-# native decoder error codes >= 3 mean a chunk PAYLOAD failed to decompress
-# (3 short raw chunk, 4 zlib, 5 RLE, 6 PIZ, 7 PXR24, 8 B44, 9 DWA, 10 setup)
-# — the file is corrupt and re-decoding it through the pure-Python path
-# would only repeat the (for PIZ/DWA ~5000x slower) work before raising the
-# same conclusion. rc 1/2 are framing/coordinate parse errors where the
-# Python decoder raises a more precise message cheaply.
+# native decoder error codes 3-9 mean a chunk PAYLOAD failed to decompress
+# (3 short raw chunk, 4 zlib, 5 RLE, 6 PIZ, 7 PXR24, 8 B44, 9 DWA) — the
+# file is corrupt and re-decoding it through the pure-Python path would
+# only repeat the (for PIZ/DWA ~5000x slower) work before raising the same
+# conclusion. rc 1/2 are framing/coordinate parse errors where the Python
+# decoder raises a more precise message cheaply, and rc 10 (missing DWA
+# name/table inputs) is a WRAPPER bug, not bad data — both fall through to
+# the Python decoder rather than mislabelling a valid file as corrupt.
 _NATIVE_PAYLOAD_ERRORS = {
     3: "chunk stored raw but shorter than its scanlines",
     4: "zlib inflate failed",
@@ -75,7 +77,6 @@ _NATIVE_PAYLOAD_ERRORS = {
     7: "PXR24 decode failed",
     8: "B44 decode failed",
     9: "DWA decode failed",
-    10: "decoder setup failed",
 }
 
 

@@ -116,10 +116,22 @@ def put_sharded(x, sharding: NamedSharding):
     return jax.device_put(x, sharding)
 
 
-def batch_sharding(mesh: Mesh) -> tuple[NamedSharding, NamedSharding, NamedSharding]:
-    """(imgs (B, P, 3), idx (B,), bmask (B,)) shardings for one batch."""
+def pixel_axis_or_none(mesh: Mesh, npix: int) -> str | None:
+    """The single policy for sharding a pixel-sized axis: 'pixel' when the
+    extent divides the axis, else None (replicate). Shared by the resident
+    stage data placement and the streaming per-batch placement so the two
+    paths cannot diverge."""
+    return "pixel" if npix % mesh.shape["pixel"] == 0 else None
+
+
+def batch_sharding(
+    mesh: Mesh, npix: int | None = None
+) -> tuple[NamedSharding, NamedSharding, NamedSharding]:
+    """(imgs (B, P, 3), idx (B,), bmask (B,)) shardings for one batch.
+    With ``npix`` given, a non-divisible pixel axis replicates."""
+    pix = "pixel" if npix is None else pixel_axis_or_none(mesh, npix)
     return (
-        NamedSharding(mesh, P("data", "pixel", None)),
+        NamedSharding(mesh, P("data", pix, None)),
         NamedSharding(mesh, P("data")),
         NamedSharding(mesh, P("data")),
     )
@@ -136,8 +148,8 @@ def shard_stage_data(mesh: Mesh, images, idx_b, bmask_b):
     gathered inside the compiled scan by index, and GSPMD shards the
     gathered batch rows over 'data' from the index sharding."""
     spec = [None] * images.ndim
-    if images.ndim >= 2 and images.shape[1] % mesh.shape["pixel"] == 0:
-        spec[1] = "pixel"
+    if images.ndim >= 2:
+        spec[1] = pixel_axis_or_none(mesh, images.shape[1])
     s_imgs = NamedSharding(mesh, P(*spec))
     s_idx = NamedSharding(mesh, P(None, "data"))
     return (

@@ -448,13 +448,9 @@ def streaming_stage_runner(mesh=None):
             )
 
             batch_size = pad_batch_to(batch_size, mesh.shape["data"])
-            batch_sh, vec_sh, _ = batch_sharding(mesh)
-            if images.shape[1] % mesh.shape["pixel"] != 0:
-                # non-divisible pixel axis: replicate it (the same fallback
-                # shard_stage_data applies to the resident source array)
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                batch_sh = NamedSharding(mesh, PartitionSpec("data", None, None))
+            # npix routes the non-divisible-pixel-axis fallback through the
+            # same policy the resident shard_stage_data uses
+            batch_sh, vec_sh, _ = batch_sharding(mesh, npix=images.shape[1])
             state = jax.tree.map(put_sharded, state, state_sharding(mesh, state))
             put_batch = lambda x: jax.device_put(x, batch_sh)
             put_vec = lambda v: jax.device_put(v, vec_sh)
@@ -482,9 +478,10 @@ def streaming_stage_runner(mesh=None):
                 ms = []
                 for b in range(nb):
                     state, m = jstep(state, (buf, idx_d[b], bmask_d[b]))
-                    if not (e == n_epochs - 1 and b == nb - 1):
+                    if nb > 1 and not (e == n_epochs - 1 and b == nb - 1):
                         # async dispatch above is already in flight; this
-                        # gather+transfer overlaps the device step
+                        # gather+transfer overlaps the device step. nb == 1
+                        # reuses the single (unchanging) staged batch.
                         buf = put_batch(images[idx[(b + 1) % nb]])
                     ms.append(m)
                 epoch_metrics.append(

@@ -212,3 +212,48 @@ def test_http_rotation_equivariance(tmp_path):
         np.testing.assert_allclose(r1, np.roll(r0, width // 4, axis=2), atol=2e-5)
     finally:
         httpd.shutdown()
+
+
+def test_http_rotation_guards(tmp_path):
+    """NaN rotation_y must 400 (json accepts NaN), and a decoder trained
+    with EQUIVARIANCE None must reject rotation outright."""
+    import json
+    import threading
+    import urllib.request
+
+    from reni_tpu.cli.serve import make_server
+    from reni_tpu.train import checkpoint as ckpt
+
+    cfg = RENIConfig(latent_dim=4, hidden_layers=1, hidden_features=16,
+                     equivariance="None", output_activation=None)
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(9), dataset_size=2)
+    ck = str(tmp_path / "ck")
+    ckpt.save_checkpoint(ck, params, model_config=cfg, metadata={"epoch": 1})
+    art = str(tmp_path / "dec.jaxexport")
+    serve.save_exported(serve.export_decoder(model, params), art)
+
+    httpd = make_server(art, ck, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def post(payload_text):
+            req = urllib.request.Request(
+                base + "/decode_idx", payload_text.encode(),
+                {"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, body = post('{"idx": [0], "width": 16, "rotation_y": NaN}')
+        assert code == 400 and "finite" in body["error"]
+        code, body = post('{"idx": [0], "width": 16, "rotation_y": 45.0}')
+        assert code == 400 and "EQUIVARIANCE None" in body["error"]
+        code, body = post('{"idx": [0], "width": 16}')  # no rotation: fine
+        assert code == 200
+    finally:
+        httpd.shutdown()

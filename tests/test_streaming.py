@@ -210,3 +210,34 @@ def test_streaming_mesh_with_fused_kernel():
     np.testing.assert_allclose(
         np.asarray(m_k["loss"]), np.asarray(m_x["loss"]), atol=1e-5, rtol=1e-5
     )
+
+
+def test_streaming_mesh_nondivisible_pixel_axis():
+    """A pixel count not divisible by the pixel axis must replicate it —
+    the same fallback policy shard_stage_data applies (shared helper)."""
+    model, step_fn, state, images, bs = _setup(n_images=8, width=24, batch_size=4)
+    # width 24 -> npix = 12*24 = 288; 288 % 2 == 0, so craft npix=290
+    rng = np.random.default_rng(7)
+    images = rng.normal(size=(8, 290, 3)).astype(np.float32)
+    directions = jnp.asarray(rng.normal(size=(1, 290, 3)).astype(np.float32))
+    sineweight = jnp.abs(jnp.asarray(rng.normal(size=(1, 290, 3)))).astype(
+        jnp.float32
+    )
+    optimizer = build_optimizer(
+        OptimConfig(lr_start=1e-3, lr_end=1e-4, epochs=2, steps_per_epoch=2)
+    )
+    step_fn = tasks.make_fit_decoder_step(
+        model, optimizer, directions, sineweight, kld_weighting=1e-4
+    )
+    state = tasks.init_train_state(model, params_of(model, 8), optimizer,
+                                   jax.random.PRNGKey(1))
+
+    st_res, m_res = tasks.run_stage(step_fn, state, jnp.asarray(images), 2, 4)
+    mesh = pmesh.make_mesh(n_data=2, n_pixel=4)  # 290 % 4 != 0 -> replicate
+    run_stream = tasks.streaming_stage_runner(mesh)
+    st_str, m_str = run_stream(step_fn, state, images, 2, 4)
+    _trees_close(st_res.params, st_str.params, 1e-5)
+
+
+def params_of(model, n):
+    return model.init(jax.random.PRNGKey(0), dataset_size=n)
