@@ -241,3 +241,53 @@ def test_streaming_mesh_nondivisible_pixel_axis():
 
 def params_of(model, n):
     return model.init(jax.random.PRNGKey(0), dataset_size=n)
+
+
+def test_streaming_with_reaugment():
+    """stream=True composes with reaugment (per-epoch re-staged images):
+    both runners consume the per-epoch host arrays identically."""
+    width = 32
+    model = RENIModel(
+        RENIConfig(
+            model_type="AutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=3)
+    rng = np.random.default_rng(11)
+    per_epoch = {
+        e: rng.normal(size=(3, 512, 3)).astype(np.float32) for e in range(5)
+    }
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
+        batch_size=2,
+        epochs=4,
+        multi_res_training=False,
+        final_resolution=(16, 32),
+    )
+
+    def images_at(res, epoch=None):
+        return per_epoch[epoch if epoch is not None else 0]
+
+    p_stream, m_stream = tasks.fit_task(
+        model, params, cfg, images_at, jax.random.PRNGKey(1),
+        stream=True, reaugment=True,
+    )
+    p_res, m_res = tasks.fit_task(
+        model, params, cfg,
+        lambda res, epoch=None: jnp.asarray(
+            per_epoch[epoch if epoch is not None else 0]
+        ),
+        jax.random.PRNGKey(1), reaugment=True,
+    )
+    _trees_close(p_stream, p_res, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m_res["fit_decoder_loss"]),
+        np.asarray(m_stream["fit_decoder_loss"]),
+        atol=1e-5, rtol=1e-5,
+    )
