@@ -238,6 +238,13 @@ def run_task(
             "TPU.STREAM_DATA is single-controller: drop it for multi-host "
             "runs (the dataset stages device-resident there)"
         )
+    # TPU.STREAM_CHUNK: K optimizer steps per dispatch against a K-batch
+    # staged super-slice (amortises per-dispatch latency on tunneled chips)
+    stream_chunk = int(config.TPU.get("STREAM_CHUNK", 1))
+    if stream_chunk < 1:
+        raise SystemExit(f"TPU.STREAM_CHUNK must be >= 1, got {stream_chunk}")
+    if stream_chunk > 1 and not stream and primary:
+        print("[reni_tpu] TPU.STREAM_CHUNK ignored without TPU.STREAM_DATA")
     # streaming keeps even the staging source on the host; image grids index
     # a handful of rows out of it, so host arrays serve them fine too
     stage_images_at = dataset.images_host_at if stream else dataset.images_at
@@ -374,6 +381,7 @@ def run_task(
             initial_opt_state=opt_loader,
             reaugment=reaugment,
             stream=stream,
+            stream_chunk=stream_chunk,
         )
 
     final = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR,

@@ -141,6 +141,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stream_chunk_shardings(
+    mesh: Mesh, npix: int
+) -> tuple[NamedSharding, NamedSharding]:
+    """Shardings for the chunked streaming path (TPU.STREAM_CHUNK > 1):
+    the flat (K·B, P, 3) super-slice replicates over 'data' and shards its
+    pixel axis by the shared :func:`pixel_axis_or_none` policy — batch rows
+    are gathered inside the compiled scan, and GSPMD shards the gathered
+    rows over 'data' from the (K, B) index sharding, exactly as the
+    resident runner does from its (S, P, 3) source."""
+    pix = pixel_axis_or_none(mesh, npix)
+    return (
+        NamedSharding(mesh, P(None, pix, None)),
+        NamedSharding(mesh, P(None, "data")),
+    )
+
+
 def shard_stage_data(mesh: Mesh, images, idx_b, bmask_b):
     """Place the stage's data on the mesh: the image/target source array
     (S, P, 3) (or render targets (S, H, W, 3)) shards its pixel/row axis on

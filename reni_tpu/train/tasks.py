@@ -337,6 +337,34 @@ def _jit_step(step_fn: Callable):
     return jax.jit(step_fn)
 
 
+def _largest_divisor_leq(n: int, k: int) -> int:
+    """Largest divisor of ``n`` that is <= ``k`` (>= 1)."""
+    for d in range(min(n, max(1, k)), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+@functools.lru_cache(maxsize=64)
+def _chunk_runner(step_fn: Callable):
+    """Memoized jitted K-step scan for the chunked streaming runner
+    (``TPU.STREAM_CHUNK``): one dispatch executes K optimizer steps against
+    a staged (K·B, P, 3) super-slice. The slice stays rank-3 with the batch
+    rows gathered inside the scan — a rank-4 (K, B, P, 3) transfer would
+    hit the (8, 128)-tiled layout that pads the channel axis 3 -> 128, the
+    42x HBM blowup documented at :func:`_scan_runner`."""
+
+    @jax.jit
+    def run(state, chunk_imgs, rows, idxs, bms):
+        def body(s, xs):
+            r, ix, bm = xs
+            return step_fn(s, (chunk_imgs[r], ix, bm))
+
+        return jax.lax.scan(body, state, (rows, idxs, bms))
+
+    return run
+
+
 @functools.lru_cache(maxsize=64)
 def _scan_runner(step_fn: Callable):
     """The compiled whole-stage program for a step function: scan(epochs) of
@@ -409,7 +437,7 @@ def run_stage(
     return state, merged
 
 
-def streaming_stage_runner(mesh=None):
+def streaming_stage_runner(mesh=None, chunk: int = 1):
     """A drop-in for ``run_stage`` that keeps the dataset on the HOST and
     transfers one batch per optimizer step — for datasets larger than
     device HBM (``TPU.STREAM_DATA``). Double-buffered: the step dispatch
@@ -422,6 +450,15 @@ def streaming_stage_runner(mesh=None):
     or tunnel bandwidth). Semantics are identical to ``run_stage``: same
     batches, same zero-masked ragged tail, same step_fn — only the
     residency of the image source differs.
+
+    ``chunk`` (``TPU.STREAM_CHUNK``) > 1 amortises per-dispatch latency —
+    the dominant cost on tunneled/remote chips, where each dispatch pays an
+    RTT: each transfer stages a K-batch (K·B, P, 3) super-slice and ONE
+    compiled ``lax.scan`` runs K optimizer steps against it, at the cost of
+    K batches of HBM instead of 1. K is rounded down to the largest divisor
+    of the per-epoch batch count so chunks stay epoch-aligned and a single
+    compiled program serves every dispatch. Step order, masking and metrics
+    are identical to the unchunked path.
 
     With ``mesh`` (single-process), state and batches are placed with the
     same NamedShardings the resident sharded runner uses, and the fused
@@ -445,25 +482,72 @@ def streaming_stage_runner(mesh=None):
                 pad_batch_to,
                 put_sharded,
                 state_sharding,
+                stream_chunk_shardings,
             )
 
             batch_size = pad_batch_to(batch_size, mesh.shape["data"])
             # npix routes the non-divisible-pixel-axis fallback through the
             # same policy the resident shard_stage_data uses
             batch_sh, vec_sh, _ = batch_sharding(mesh, npix=images.shape[1])
+            chunk_sh, mat_sh = stream_chunk_shardings(mesh, images.shape[1])
             state = jax.tree.map(put_sharded, state, state_sharding(mesh, state))
             put_batch = lambda x: jax.device_put(x, batch_sh)
             put_vec = lambda v: jax.device_put(v, vec_sh)
+            put_chunk = lambda x: jax.device_put(x, chunk_sh)
+            put_mat = lambda x: jax.device_put(x, mat_sh)
             kmesh = lambda: kernel_mesh(mesh)
         else:
             import contextlib
 
             put_batch = jax.device_put
             put_vec = jax.device_put
+            put_chunk = jax.device_put
+            put_mat = jax.device_put
             kmesh = contextlib.nullcontext
 
         idx, bmask = make_batches(dataset_size, batch_size)
+        idx = np.asarray(idx)
+        bmask = np.asarray(bmask)
         nb = idx.shape[0]
+
+        K = _largest_divisor_leq(nb, chunk) if nb > 1 else 1
+        if K > 1:
+            if K != chunk:
+                print(
+                    f"[reni_tpu] TPU.STREAM_CHUNK={chunk}: using {K} "
+                    f"(largest divisor of the {nb} batches/epoch — keeps "
+                    "chunks epoch-aligned under one compiled program)"
+                )
+            n_chunks = nb // K
+            # per-chunk constants: scan xs (rows into the staged slice,
+            # global dataset idx for the latent rows, ragged-tail masks)
+            rows_d = put_mat(np.arange(K * batch_size).reshape(K, batch_size))
+            idx_ch = [put_mat(idx[c * K : (c + 1) * K]) for c in range(n_chunks)]
+            bm_ch = [put_mat(bmask[c * K : (c + 1) * K]) for c in range(n_chunks)]
+            flat_rows = [
+                idx[c * K : (c + 1) * K].reshape(-1) for c in range(n_chunks)
+            ]
+            jrun = _chunk_runner(step_fn)
+            epoch_metrics = []
+            buf = put_chunk(images[flat_rows[0]])
+            with kmesh():
+                for e in range(n_epochs):
+                    ms = []
+                    for c in range(n_chunks):
+                        state, m = jrun(state, buf, rows_d, idx_ch[c], bm_ch[c])
+                        if n_chunks > 1 and not (
+                            e == n_epochs - 1 and c == n_chunks - 1
+                        ):
+                            # the scan dispatch above is in flight; this
+                            # host gather + transfer overlaps it. A single
+                            # chunk (K == nb) stays staged across epochs.
+                            buf = put_chunk(images[flat_rows[(c + 1) % n_chunks]])
+                        ms.append(m)  # leaves: (K,) per-step metrics
+                    epoch_metrics.append(
+                        jax.tree.map(lambda *xs: jnp.concatenate(xs).mean(), *ms)
+                    )
+            metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *epoch_metrics)
+            return state, metrics
         # per-batch index/mask vectors are tiny: stage them all once
         idx_d = [put_vec(idx[i]) for i in range(nb)]
         bmask_d = [put_vec(np.asarray(bmask[i])) for i in range(nb)]
@@ -511,6 +595,7 @@ def fit_task(
     reaugment: bool = False,
     shard_latents: bool = False,
     stream: bool = False,
+    stream_chunk: int = 1,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
 
@@ -546,7 +631,8 @@ def fit_task(
         # host-resident dataset, one (double-buffered) batch transfer per
         # step — for datasets larger than HBM. Pass images_at returning
         # host arrays (dataset.images_host_at) to avoid a device staging.
-        stage_runner = streaming_stage_runner(mesh)
+        # stream_chunk > 1 scans K batches per dispatch (TPU.STREAM_CHUNK).
+        stage_runner = streaming_stage_runner(mesh, chunk=stream_chunk)
         if mesh is not None:
             from reni_tpu.parallel.mesh import pad_batch_to
 

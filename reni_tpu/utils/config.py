@@ -207,6 +207,13 @@ _DEFAULTS = {
         # streaming_stage_runner). Identical semantics; trades the
         # whole-stage scan for per-step dispatch. Single-controller only.
         "STREAM_DATA": False,
+        # with STREAM_DATA: optimizer steps per dispatch — each transfer
+        # stages a K-batch super-slice and one compiled scan runs K steps
+        # against it, amortising per-dispatch latency (tunneled/remote
+        # chips pay an RTT per dispatch) at the cost of K batches of HBM
+        # instead of 1. Rounded down to the largest divisor of the
+        # per-epoch batch count (keeps chunks epoch-aligned).
+        "STREAM_CHUNK": 1,
     },
 }
 

@@ -243,6 +243,92 @@ def params_of(model, n):
     return model.init(jax.random.PRNGKey(0), dataset_size=n)
 
 
+def test_largest_divisor_leq():
+    assert tasks._largest_divisor_leq(12, 8) == 6
+    assert tasks._largest_divisor_leq(12, 4) == 4
+    assert tasks._largest_divisor_leq(5, 4) == 1
+    assert tasks._largest_divisor_leq(1, 8) == 1
+    assert tasks._largest_divisor_leq(7, 0) == 1
+
+
+def test_streaming_chunked_matches_resident():
+    """TPU.STREAM_CHUNK: K batches scanned per dispatch must reproduce the
+    resident fit exactly — whole-epoch chunk (K == nb) and the K=1
+    fallback when no divisor <= chunk exists (nb=3, chunk=2)."""
+    model, step_fn, state, images, bs = _setup()  # 5 imgs, bs 2 -> nb = 3
+    n_epochs = 4
+    st_res, m_res = tasks.run_stage(step_fn, state, jnp.asarray(images), n_epochs, bs)
+
+    for chunk in (3, 2):  # K = 3 (one chunk/epoch) and K = 1 (fallback)
+        run_stream = tasks.streaming_stage_runner(chunk=chunk)
+        st_str, m_str = run_stream(step_fn, state, images, n_epochs, bs)
+        _trees_close(st_res.params, st_str.params, 1e-6)
+        for k in m_res:
+            assert np.asarray(m_str[k]).shape == (n_epochs,)
+            np.testing.assert_allclose(
+                np.asarray(m_res[k]), np.asarray(m_str[k]), atol=1e-5, rtol=1e-5
+            )
+
+
+def test_streaming_chunked_on_mesh():
+    """Chunked streaming over a data x pixel mesh: the (K·B, P, 3) staged
+    super-slice + in-scan row gather reproduces the unsharded resident fit
+    (multi-chunk epochs: nb=4, K=2)."""
+    model, step_fn, state, images, bs = _setup(n_images=8, batch_size=2)
+    n_epochs = 3
+    st_res, m_res = tasks.run_stage(step_fn, state, jnp.asarray(images), n_epochs, bs)
+
+    mesh = pmesh.make_mesh(n_data=2, n_pixel=2)
+    run_stream = tasks.streaming_stage_runner(mesh, chunk=2)
+    st_str, m_str = run_stream(step_fn, state, images, n_epochs, bs)
+
+    _trees_close(st_res.params, st_str.params, 1e-5)
+    for k in m_res:
+        np.testing.assert_allclose(
+            np.asarray(m_res[k]), np.asarray(m_str[k]), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_fit_task_stream_chunk_end_to_end():
+    """fit_task(stream=True, stream_chunk=2) — the public wiring — matches
+    the resident fit through the curriculum."""
+    width = 32
+    model = RENIModel(
+        RENIConfig(
+            model_type="AutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=4)
+    rng = np.random.default_rng(13)
+    host_imgs = rng.normal(size=(4, 512, 3)).astype(np.float32)
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
+        batch_size=2,  # nb = 2 -> K = 2: one dispatch per epoch
+        epochs=4,
+        multi_res_training=False,
+        final_resolution=(16, 32),
+    )
+    p_stream, m_stream = tasks.fit_task(
+        model, params, cfg, lambda res, epoch=None: host_imgs,
+        jax.random.PRNGKey(1), stream=True, stream_chunk=2,
+    )
+    p_res, m_res = tasks.fit_task(
+        model, params, cfg, lambda res, epoch=None: jnp.asarray(host_imgs),
+        jax.random.PRNGKey(1),
+    )
+    _trees_close(p_stream, p_res, 1e-6)
+    for k in m_res:
+        np.testing.assert_allclose(
+            np.asarray(m_res[k]), np.asarray(m_stream[k]), atol=1e-5, rtol=1e-5
+        )
+
+
 def test_streaming_with_reaugment():
     """stream=True composes with reaugment (per-epoch re-staged images):
     both runners consume the per-epoch host arrays identically."""
