@@ -229,15 +229,10 @@ def run_task(
         config.TPU.get("SHARD_LATENTS", False)
     )
     # TPU.STREAM_DATA: host-resident dataset, one double-buffered batch
-    # transfer per step (datasets larger than HBM); single-controller only.
-    # FIT_INVERSE never consumes the flag (it is ignored below), so only
-    # tasks that would stream abort on multi-host.
+    # transfer per step (datasets larger than HBM). Multi-host: every
+    # process loads the same dataset (DDP semantics) and transfers only its
+    # addressable shard of each batch; FIT_INVERSE ignores the flag below.
     stream = bool(config.TPU.get("STREAM_DATA", False))
-    if stream and task != "FIT_INVERSE" and jax.process_count() > 1:
-        raise SystemExit(
-            "TPU.STREAM_DATA is single-controller: drop it for multi-host "
-            "runs (the dataset stages device-resident there)"
-        )
     # TPU.STREAM_CHUNK: K optimizer steps per dispatch against a K-batch
     # staged super-slice (amortises per-dispatch latency on tunneled chips)
     stream_chunk = int(config.TPU.get("STREAM_CHUNK", 1))

@@ -38,6 +38,7 @@ throughput under data parallelism instead of all-gathering the batch.
 from __future__ import annotations
 
 import contextlib
+import functools
 from typing import Any
 
 import jax
@@ -145,15 +146,56 @@ def stream_chunk_shardings(
     mesh: Mesh, npix: int
 ) -> tuple[NamedSharding, NamedSharding]:
     """Shardings for the chunked streaming path (TPU.STREAM_CHUNK > 1):
-    the flat (K·B, P, 3) super-slice replicates over 'data' and shards its
-    pixel axis by the shared :func:`pixel_axis_or_none` policy — batch rows
-    are gathered inside the compiled scan, and GSPMD shards the gathered
-    rows over 'data' from the (K, B) index sharding, exactly as the
-    resident runner does from its (S, P, 3) source."""
+    the flat (K·B, P, 3) super-slice shards its row axis over 'data' (each
+    device resident for K LOCAL batches — B/n_data rows per step, the same
+    per-device footprint scaling as the unchunked per-batch transfer) and
+    its pixel axis by the shared :func:`pixel_axis_or_none` policy; (K, B)
+    per-step index/mask matrices shard their batch axis."""
     pix = pixel_axis_or_none(mesh, npix)
     return (
-        NamedSharding(mesh, P(None, pix, None)),
+        NamedSharding(mesh, P("data", pix, None)),
         NamedSharding(mesh, P(None, "data")),
+    )
+
+
+def stream_chunk_layout(
+    mesh: Mesh, idx_chunk: "np.ndarray"
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Host-side row order + shard-local gather indices for one streaming
+    super-slice.
+
+    ``idx_chunk`` is (K, B) dataset indices (B divisible by the data axis).
+    Returns ``(perm, rows)``: staging ``images[perm]`` lays the flat
+    (K·B, P, 3) slice out data-shard-major — shard d's contiguous block is
+    exactly its own (K, B/n_data) rows — and ``rows`` is the (K, B) matrix
+    of shard-LOCAL row indices ``chunk_gather`` consumes (every shard's
+    segment of row k holds the same values ``k·Bd + arange(Bd)``, split
+    over 'data' by the P(None, 'data') sharding)."""
+    K, B = idx_chunk.shape
+    nd = mesh.shape["data"]
+    bd = B // nd
+    perm = idx_chunk.reshape(K, nd, bd).transpose(1, 0, 2).reshape(-1)
+    rows = np.tile(bd * np.arange(K)[:, None] + np.arange(bd), (1, nd))
+    return perm, rows
+
+
+@functools.lru_cache(maxsize=32)
+def chunk_gather(mesh: Mesh, pix: str | None):
+    """Collective-free per-step batch gather out of a data-sharded
+    streaming super-slice: under ``shard_map`` each data shard indexes its
+    own contiguous (K·Bd, P_local, 3) block with the shard-local ``rows``
+    from :func:`stream_chunk_layout` — no all-gather of image bytes, unlike
+    a GSPMD gather over a sharded operand with runtime indices. Memoized so
+    the chunk runner's jit cache (keyed on the gather fn) holds across
+    callback segments."""
+    spec = P("data", pix, None)
+
+    def local(imgs, rows):
+        return imgs[rows]
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, P("data")), out_specs=spec,
+        check_vma=False,
     )
 
 

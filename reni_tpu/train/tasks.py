@@ -337,6 +337,17 @@ def _jit_step(step_fn: Callable):
     return jax.jit(step_fn)
 
 
+_PRINTED: set = set()
+
+
+def _print_once(msg: str) -> None:
+    """Stage runners re-enter once per callback segment; notices about the
+    chosen chunking print once per distinct message, not per segment."""
+    if msg not in _PRINTED:
+        _PRINTED.add(msg)
+        print(msg)
+
+
 def _largest_divisor_leq(n: int, k: int) -> int:
     """Largest divisor of ``n`` that is <= ``k`` (>= 1)."""
     for d in range(min(n, max(1, k)), 0, -1):
@@ -346,19 +357,22 @@ def _largest_divisor_leq(n: int, k: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _chunk_runner(step_fn: Callable):
+def _chunk_runner(step_fn: Callable, gather: Callable | None = None):
     """Memoized jitted K-step scan for the chunked streaming runner
     (``TPU.STREAM_CHUNK``): one dispatch executes K optimizer steps against
     a staged (K·B, P, 3) super-slice. The slice stays rank-3 with the batch
     rows gathered inside the scan — a rank-4 (K, B, P, 3) transfer would
     hit the (8, 128)-tiled layout that pads the channel axis 3 -> 128, the
-    42x HBM blowup documented at :func:`_scan_runner`."""
+    42x HBM blowup documented at :func:`_scan_runner`. On a mesh the slice
+    is data-sharded and ``gather`` (``parallel.mesh.chunk_gather``) indexes
+    each shard's own block collective-free with shard-local rows."""
 
     @jax.jit
     def run(state, chunk_imgs, rows, idxs, bms):
         def body(s, xs):
             r, ix, bm = xs
-            return step_fn(s, (chunk_imgs[r], ix, bm))
+            batch = chunk_imgs[r] if gather is None else gather(chunk_imgs, r)
+            return step_fn(s, (batch, ix, bm))
 
         return jax.lax.scan(body, state, (rows, idxs, bms))
 
@@ -455,21 +469,26 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
     the dominant cost on tunneled/remote chips, where each dispatch pays an
     RTT: each transfer stages a K-batch (K·B, P, 3) super-slice and ONE
     compiled ``lax.scan`` runs K optimizer steps against it, at the cost of
-    K batches of HBM instead of 1. K is rounded down to the largest divisor
-    of the per-epoch batch count so chunks stay epoch-aligned and a single
-    compiled program serves every dispatch. Step order, masking and metrics
-    are identical to the unchunked path.
+    K batches of HBM instead of 1 (per device: K LOCAL batches — on a mesh
+    the slice is data-sharded and each shard gathers its own block
+    collective-free, ``parallel.mesh.chunk_gather``). K is rounded down to
+    the largest divisor of the per-epoch batch count (and clamped by
+    RENI_TPU_MAX_SCAN_STEPS, the per-dispatch step cap crash-resume relies
+    on) so chunks stay epoch-aligned and a single compiled program serves
+    every dispatch. Step order, masking and metrics are identical to the
+    unchunked path.
 
-    With ``mesh`` (single-process), state and batches are placed with the
-    same NamedShardings the resident sharded runner uses, and the fused
-    kernel dispatches through its shard_map. Multi-process streaming is
-    not implemented (each host would need its addressable shard of every
-    batch)."""
-    if mesh is not None and jax.process_count() > 1:
+    With ``mesh``, state and batches are placed with the same
+    NamedShardings the resident sharded runner uses, and the fused kernel
+    dispatches through its shard_map. Multi-process (a jax.distributed
+    pod): every process holds the same host dataset (DDP semantics, like
+    the resident staging) and contributes only its addressable shard of
+    each batch/super-slice via ``put_sharded`` — per-host transfer is the
+    host's own rows, exactly how a pod feeds data in production."""
+    if mesh is None and jax.process_count() > 1:
         raise NotImplementedError(
-            "TPU.STREAM_DATA is single-controller: multi-process runs "
-            "stage the dataset device-resident (drop STREAM_DATA or run "
-            "single-process)"
+            "multi-process TPU.STREAM_DATA needs the global mesh (the CLI "
+            "always passes one on a jax.distributed cluster)"
         )
 
     def run(step_fn, state, images, n_epochs, batch_size):
@@ -478,10 +497,13 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
         if mesh is not None:
             from reni_tpu.parallel.mesh import (
                 batch_sharding,
+                chunk_gather,
                 kernel_mesh,
                 pad_batch_to,
+                pixel_axis_or_none,
                 put_sharded,
                 state_sharding,
+                stream_chunk_layout,
                 stream_chunk_shardings,
             )
 
@@ -491,10 +513,16 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
             batch_sh, vec_sh, _ = batch_sharding(mesh, npix=images.shape[1])
             chunk_sh, mat_sh = stream_chunk_shardings(mesh, images.shape[1])
             state = jax.tree.map(put_sharded, state, state_sharding(mesh, state))
-            put_batch = lambda x: jax.device_put(x, batch_sh)
-            put_vec = lambda v: jax.device_put(v, vec_sh)
-            put_chunk = lambda x: jax.device_put(x, chunk_sh)
-            put_mat = lambda x: jax.device_put(x, mat_sh)
+            # put_sharded = device_put single-process; on a jax.distributed
+            # cluster each process contributes its addressable shards only
+            put_batch = lambda x: put_sharded(x, batch_sh)
+            put_vec = lambda v: put_sharded(v, vec_sh)
+            put_chunk = lambda x: put_sharded(x, chunk_sh)
+            put_mat = lambda x: put_sharded(x, mat_sh)
+            gather = chunk_gather(
+                mesh, pixel_axis_or_none(mesh, images.shape[1])
+            )
+            layout = lambda idx_chunk: stream_chunk_layout(mesh, idx_chunk)
             kmesh = lambda: kernel_mesh(mesh)
         else:
             import contextlib
@@ -503,6 +531,11 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
             put_vec = jax.device_put
             put_chunk = jax.device_put
             put_mat = jax.device_put
+            gather = None
+            layout = lambda idx_chunk: (
+                idx_chunk.reshape(-1),
+                np.arange(idx_chunk.size).reshape(idx_chunk.shape),
+            )
             kmesh = contextlib.nullcontext
 
         idx, bmask = make_batches(dataset_size, batch_size)
@@ -510,26 +543,42 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
         bmask = np.asarray(bmask)
         nb = idx.shape[0]
 
-        K = _largest_divisor_leq(nb, chunk) if nb > 1 else 1
+        # clamp by the per-dispatch step cap the crash-resume strategy
+        # relies on (RENI_TPU_MAX_SCAN_STEPS; run_stage honours the same)
+        cap = _max_steps_per_program()
+        eff_chunk = min(chunk, cap) if cap else chunk
+        K = _largest_divisor_leq(nb, eff_chunk) if nb > 1 else 1
+        if chunk > 1 and K == 1 and nb > 1:
+            _print_once(
+                f"[reni_tpu] TPU.STREAM_CHUNK={chunk}: no divisor of the "
+                f"{nb} batches/epoch in range — unchunked streaming "
+                "(one dispatch per optimizer step)"
+            )
         if K > 1:
             if K != chunk:
-                print(
+                why = f"largest divisor of the {nb} batches/epoch"
+                if cap and eff_chunk < chunk:
+                    why += f" within RENI_TPU_MAX_SCAN_STEPS={cap}"
+                _print_once(
                     f"[reni_tpu] TPU.STREAM_CHUNK={chunk}: using {K} "
-                    f"(largest divisor of the {nb} batches/epoch — keeps "
-                    "chunks epoch-aligned under one compiled program)"
+                    f"({why} — epoch-aligned chunks, one compiled program)"
                 )
             n_chunks = nb // K
-            # per-chunk constants: scan xs (rows into the staged slice,
-            # global dataset idx for the latent rows, ragged-tail masks)
-            rows_d = put_mat(np.arange(K * batch_size).reshape(K, batch_size))
+            # per-chunk constants: scan xs (shard-local rows into the
+            # staged slice, global dataset idx for the latent rows,
+            # ragged-tail masks); perms order each staged slice so a data
+            # shard's block holds exactly its own rows (collective-free)
+            perms = []
+            rows = None
+            for c in range(n_chunks):
+                perm, rows = layout(idx[c * K : (c + 1) * K])
+                perms.append(perm)
+            rows_d = put_mat(rows)
             idx_ch = [put_mat(idx[c * K : (c + 1) * K]) for c in range(n_chunks)]
             bm_ch = [put_mat(bmask[c * K : (c + 1) * K]) for c in range(n_chunks)]
-            flat_rows = [
-                idx[c * K : (c + 1) * K].reshape(-1) for c in range(n_chunks)
-            ]
-            jrun = _chunk_runner(step_fn)
+            jrun = _chunk_runner(step_fn, gather)
             epoch_metrics = []
-            buf = put_chunk(images[flat_rows[0]])
+            buf = put_chunk(images[perms[0]])
             with kmesh():
                 for e in range(n_epochs):
                     ms = []
@@ -541,7 +590,7 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
                             # the scan dispatch above is in flight; this
                             # host gather + transfer overlaps it. A single
                             # chunk (K == nb) stays staged across epochs.
-                            buf = put_chunk(images[flat_rows[(c + 1) % n_chunks]])
+                            buf = put_chunk(images[perms[(c + 1) % n_chunks]])
                         ms.append(m)  # leaves: (K,) per-step metrics
                     epoch_metrics.append(
                         jax.tree.map(lambda *xs: jnp.concatenate(xs).mean(), *ms)

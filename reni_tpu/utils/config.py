@@ -205,7 +205,8 @@ _DEFAULTS = {
         # batch per optimizer step instead of staging the whole set in HBM —
         # for datasets larger than device memory (train/tasks.py
         # streaming_stage_runner). Identical semantics; trades the
-        # whole-stage scan for per-step dispatch. Single-controller only.
+        # whole-stage scan for per-step dispatch. Multi-host: each process
+        # transfers only its addressable shard of every batch.
         "STREAM_DATA": False,
         # with STREAM_DATA: optimizer steps per dispatch — each transfer
         # stages a K-batch super-slice and one compiled scan runs K steps

@@ -77,6 +77,8 @@ def main():
     )
     images = jnp.asarray(synthetic_images(6, 16, seed=31))
 
+    from reni_tpu.train.checkpoint import fetch_tree as _fetch
+
     results = {}
     for shard_latents in (False, True):
         # shard_latents=True row-shards the latent tables ACROSS processes:
@@ -85,9 +87,23 @@ def main():
         state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
         runner = pmesh.sharded_stage_runner(mesh, shard_latents=shard_latents)
         state, metrics = runner(step, state, images, 3, 8)
-        from reni_tpu.train.checkpoint import fetch_tree as _fetch
-
         results[shard_latents] = (
+            np.asarray(metrics["loss"]),
+            jax.tree_util.tree_flatten(_fetch(state.params))[0],
+        )
+
+    # multi-process STREAM_DATA: the host dataset (same on every process,
+    # DDP semantics) streams per-step / per-super-slice; every process
+    # contributes only its addressable shard of each transfer. chunk=3
+    # also exercises the shard_map'd collective-free chunk gather across
+    # process boundaries (6 imgs, batch 2 -> nb=3 -> K=3).
+    imgs_host = synthetic_images(6, 16, seed=31)
+    stream_losses = {}
+    for chunk in (1, 3):
+        state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
+        runner = tasks.streaming_stage_runner(mesh, chunk=chunk)
+        state, metrics = runner(step, state, imgs_host, 3, 2)
+        stream_losses[chunk] = (
             np.asarray(metrics["loss"]),
             jax.tree_util.tree_flatten(_fetch(state.params))[0],
         )
@@ -99,9 +115,15 @@ def main():
             out_path,
             loss=loss,
             loss_shard_latents=loss_sl,
+            loss_stream1=stream_losses[1][0],
+            loss_stream3=stream_losses[3][0],
             n_global_devices=jax.device_count(),
             **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)},
             **{f"sleaf{i}": np.asarray(l) for i, l in enumerate(leaves_sl)},
+            **{f"st1leaf{i}": np.asarray(l)
+               for i, l in enumerate(stream_losses[1][1])},
+            **{f"st3leaf{i}": np.asarray(l)
+               for i, l in enumerate(stream_losses[3][1])},
         )
 
 
