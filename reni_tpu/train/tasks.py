@@ -451,7 +451,7 @@ def run_stage(
     return state, merged
 
 
-def streaming_stage_runner(mesh=None, chunk: int = 1):
+def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = False):
     """A drop-in for ``run_stage`` that keeps the dataset on the HOST and
     transfers one batch per optimizer step — for datasets larger than
     device HBM (``TPU.STREAM_DATA``). Double-buffered: the step dispatch
@@ -512,7 +512,23 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
             # same policy the resident shard_stage_data uses
             batch_sh, vec_sh, _ = batch_sharding(mesh, npix=images.shape[1])
             chunk_sh, mat_sh = stream_chunk_shardings(mesh, images.shape[1])
-            state = jax.tree.map(put_sharded, state, state_sharding(mesh, state))
+            # row-sharded latent tables (TPU.SHARD_LATENTS): the identical
+            # pad -> shard -> (train) -> unpad protocol the resident
+            # sharded_stage_runner applies — only image residency differs
+            pad_sizes = {}
+            if shard_latents:
+                from reni_tpu.parallel.mesh import pad_latent_rows
+
+                state, pad_sizes = pad_latent_rows(state, mesh.shape["data"])
+            state = jax.tree.map(
+                put_sharded, state, state_sharding(mesh, state, shard_latents)
+            )
+            if shard_latents:
+                from reni_tpu.parallel.mesh import unpad_latent_rows
+
+                unpad = lambda st: unpad_latent_rows(st, pad_sizes)
+            else:
+                unpad = lambda st: st
             # put_sharded = device_put single-process; on a jax.distributed
             # cluster each process contributes its addressable shards only
             put_batch = lambda x: put_sharded(x, batch_sh)
@@ -537,6 +553,7 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
                 np.arange(idx_chunk.size).reshape(idx_chunk.shape),
             )
             kmesh = contextlib.nullcontext
+            unpad = lambda st: st
 
         idx, bmask = make_batches(dataset_size, batch_size)
         idx = np.asarray(idx)
@@ -596,7 +613,7 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
                         jax.tree.map(lambda *xs: jnp.concatenate(xs).mean(), *ms)
                     )
             metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *epoch_metrics)
-            return state, metrics
+            return unpad(state), metrics
         # per-batch index/mask vectors are tiny: stage them all once
         idx_d = [put_vec(idx[i]) for i in range(nb)]
         bmask_d = [put_vec(np.asarray(bmask[i])) for i in range(nb)]
@@ -621,7 +638,7 @@ def streaming_stage_runner(mesh=None, chunk: int = 1):
                     jax.tree.map(lambda *xs: jnp.stack(xs).mean(), *ms)
                 )
         metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *epoch_metrics)
-        return state, metrics
+        return unpad(state), metrics
 
     return run
 
@@ -672,16 +689,14 @@ def fit_task(
     batch_size = task_cfg.batch_size
     stage_runner = run_stage
     if stream:
-        if shard_latents:
-            raise NotImplementedError(
-                "TPU.STREAM_DATA + TPU.SHARD_LATENTS: row-sharded latent "
-                "tables require the scan-resident runner"
-            )
         # host-resident dataset, one (double-buffered) batch transfer per
         # step — for datasets larger than HBM. Pass images_at returning
         # host arrays (dataset.images_host_at) to avoid a device staging.
-        # stream_chunk > 1 scans K batches per dispatch (TPU.STREAM_CHUNK).
-        stage_runner = streaming_stage_runner(mesh, chunk=stream_chunk)
+        # stream_chunk > 1 scans K batches per dispatch (TPU.STREAM_CHUNK);
+        # shard_latents row-shards the latent tables like the resident path.
+        stage_runner = streaming_stage_runner(
+            mesh, chunk=stream_chunk, shard_latents=shard_latents
+        )
         if mesh is not None:
             from reni_tpu.parallel.mesh import pad_batch_to
 

@@ -143,24 +143,30 @@ def test_fit_task_stream_flag_end_to_end():
     assert seen == [2, 4, 6, 8]  # callbacks fired at segment boundaries
 
 
-def test_stream_rejects_shard_latents():
-    import pytest
+def test_streaming_with_shard_latents():
+    """STREAM_DATA + SHARD_LATENTS (the truly-huge case: images stream from
+    host, latent tables row-shard across 'data'): both the per-step and the
+    chunked streaming runners must match the resident row-sharded fit —
+    including the non-divisible pad/unpad (6 rows on a 4-wide axis)."""
+    model, step_fn, state, images, bs = _setup(n_images=6, batch_size=2)
+    n_epochs = 3
+    mesh = pmesh.make_mesh(n_data=4, n_pixel=2)
 
-    model, step_fn, state, images, bs = _setup()
-    cfg = tasks.TaskConfig(
-        task="FIT_DECODER",
-        optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
-        batch_size=2,
-        epochs=1,
-        multi_res_training=False,
-        final_resolution=(16, 32),
-    )
-    with pytest.raises(NotImplementedError, match="SHARD_LATENTS"):
-        tasks.fit_task(
-            model, model.init(jax.random.PRNGKey(0), dataset_size=5), cfg,
-            lambda res, epoch=None: images, jax.random.PRNGKey(1),
-            stream=True, shard_latents=True,
+    run_res = pmesh.sharded_stage_runner(mesh, shard_latents=True)
+    st_res, m_res = run_res(step_fn, state, jnp.asarray(images), n_epochs, bs)
+
+    for chunk in (1, 2):
+        run_stream = tasks.streaming_stage_runner(
+            mesh, chunk=chunk, shard_latents=True
         )
+        st_str, m_str = run_stream(step_fn, state, images, n_epochs, bs)
+        _trees_close(
+            jax.device_get(st_res.params), jax.device_get(st_str.params), 1e-5
+        )
+        for k in m_res:
+            np.testing.assert_allclose(
+                np.asarray(m_res[k]), np.asarray(m_str[k]), atol=1e-4, rtol=1e-4
+            )
 
 
 def test_streaming_mesh_with_fused_kernel():
