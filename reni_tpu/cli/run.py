@@ -232,7 +232,11 @@ def run_task(
     # transfer per step (datasets larger than HBM). Multi-host: every
     # process loads the same dataset (DDP semantics) and transfers only its
     # addressable shard of each batch; FIT_INVERSE ignores the flag below.
-    stream = bool(config.TPU.get("STREAM_DATA", False))
+    # TPU.STREAM_FROM_DISK additionally keeps the dataset on DISK (lazy
+    # decode + prefetch, datasets larger than host RAM) and implies
+    # STREAM_DATA.
+    stream_disk = bool(config.TPU.get("STREAM_FROM_DISK", False))
+    stream = bool(config.TPU.get("STREAM_DATA", False)) or stream_disk
     # TPU.STREAM_CHUNK: K optimizer steps per dispatch against a K-batch
     # staged super-slice (amortises per-dispatch latency on tunneled chips)
     stream_chunk = int(config.TPU.get("STREAM_CHUNK", 1))
@@ -241,8 +245,16 @@ def run_task(
     if stream_chunk > 1 and not stream and primary:
         print("[reni_tpu] TPU.STREAM_CHUNK ignored without TPU.STREAM_DATA")
     # streaming keeps even the staging source on the host; image grids index
-    # a handful of rows out of it, so host arrays serve them fine too
-    stage_images_at = dataset.images_host_at if stream else dataset.images_at
+    # a handful of rows out of it, so host arrays serve them fine too.
+    # STREAM_FROM_DISK goes further: the ndarray-like row source decodes
+    # exactly the rows asked for (grids decode a handful of files; training
+    # decodes per batch, prefetched)
+    if stream_disk:
+        stage_images_at = lambda res, epoch=None: dataset.row_source_at(res)
+    elif stream:
+        stage_images_at = dataset.images_host_at
+    else:
+        stage_images_at = dataset.images_at
 
     def callback(state_now, epoch, metrics_chunk, res):
         params_now = state_now.params
@@ -530,7 +542,10 @@ def main(config, mesh=None, resume=None, log_dir=None, profile_dir=None):
             if not os.path.isdir(split_path):
                 split_path = dcfg.PATH  # flat dataset layout
             dataset = get_dataset(
-                dataset_name, split_path, dcfg.TRANSFORMS, dcfg.IS_HDR
+                dataset_name, split_path, dcfg.TRANSFORMS, dcfg.IS_HDR,
+                # out-of-core: only the file list in host RAM; rows decode
+                # on demand (prefetched) through the native codec
+                lazy=bool(config.TPU.get("STREAM_FROM_DISK", False)),
             )
 
             params, metrics, best = run_task(

@@ -4,7 +4,11 @@ Replaces the reference's DataLoader pipeline (src/data/datasets.py) with a
 TPU-appropriate design: every image is decoded once on the host, the whole
 (small) dataset is staged to device HBM at each curriculum resolution, and
 the train loop indexes it with `lax.scan` — no per-step host<->device
-transfer at all.
+transfer at all. Two residency relaxations for scale: TPU.STREAM_DATA keeps
+the decoded dataset in host RAM (per-step transfers), and
+TPU.STREAM_FROM_DISK keeps it on disk (`lazy=True` + `DiskRowSource`:
+per-row decode through the native codec with background prefetch — the
+out-of-core form of the reference's DataLoader(num_workers=cpu_count)).
 
 Behavioural parity with the reference:
 - `.exr` files listed with natural sort (datasets.py:44-46), decoded to
@@ -101,24 +105,33 @@ class EnvironmentMapDataset:
         transform_config=None,
         minmax=None,
         seed: int = 0,
+        lazy: bool = False,
     ):
         self.dataset_path = dataset_path
         self.is_hdr = is_hdr
         self._seed = seed
+        self.lazy = bool(lazy)
         exts = _HDR_EXTS if is_hdr else _LDR_EXTS
         files = [f for f in os.listdir(dataset_path) if f.lower().endswith(exts)]
         self.img_names = natsorted(files)
         if not self.img_names:
             raise FileNotFoundError(f"no {'HDR' if is_hdr else 'LDR'} images in {dataset_path}")
 
-        reader = read_hdr if is_hdr else read_ldr
-        # parallel host decode (the reference's num_workers=cpu_count analog;
-        # decode happens exactly once — the dataset then lives on device)
-        from concurrent.futures import ThreadPoolExecutor
+        self._reader = read_hdr if is_hdr else read_ldr
+        self._paths = [os.path.join(dataset_path, n) for n in self.img_names]
+        self._pool = None  # lazy-mode decode pool, created on first use
+        if lazy:
+            # out-of-core mode (TPU.STREAM_FROM_DISK): only the file list
+            # lives in host RAM; rows decode on demand through the native
+            # codec (DiskRowSource) — for datasets larger than host memory
+            self._native = None
+        else:
+            # parallel host decode (the reference's num_workers=cpu_count
+            # analog; decode happens once — the dataset then lives on device)
+            from concurrent.futures import ThreadPoolExecutor
 
-        paths = [os.path.join(dataset_path, n) for n in self.img_names]
-        with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
-            self._native = list(ex.map(reader, paths))
+            with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
+                self._native = list(ex.map(self._reader, self._paths))
 
         # resolve normalisation from the transform config
         self.normalise = None
@@ -127,7 +140,9 @@ class EnvironmentMapDataset:
         for name, args in transform_config or []:
             lname = name.lower()
             if lname in ("minmaxnormalise", "minmaxormalise"):
-                mm = tuple(args) if len(args) else (minmax or T.compute_log_minmax(self._native))
+                mm = tuple(args) if len(args) else (
+                    minmax or self._discover_log_minmax()
+                )
                 self.minmax = mm
                 self.normalise = T.MinMaxNormalise(mm)
                 self.unnormalise = T.UnMinMaxNormalise(mm)
@@ -142,16 +157,75 @@ class EnvironmentMapDataset:
         self.has_random_transforms = any(
             n.lower() in T.RANDOM_TRANSFORMS for n, _ in self._extra_config
         )
+        if lazy and self.has_random_transforms:
+            raise ValueError(
+                "lazy (out-of-core) decode cannot reproduce random "
+                "transforms: staging draws one sequential RNG over the whole "
+                "set, but lazy rows decode out of order — drop the random "
+                "transforms or disable TPU.STREAM_FROM_DISK"
+            )
         self._extra_transforms = self._build_extra(np.random.default_rng(seed))
 
         self._cache: dict[tuple[int, int], jnp.ndarray] = {}
         self._host_cache: dict[tuple[int, int], np.ndarray] = {}
 
+    def _discover_log_minmax(self) -> tuple[float, float]:
+        """Dataset min/max discovery (reference datasets.py:90-101). Eager:
+        over the decoded set. Lazy: one bounded streaming pass — decode,
+        reduce, discard — so discovery never holds the dataset in RAM."""
+        if self._native is not None:
+            return T.compute_log_minmax(self._native)
+        from concurrent.futures import ThreadPoolExecutor
+
+        lo, hi = np.inf, -np.inf
+        step = 64  # bounded in-flight decodes
+        with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
+            for c in range(0, len(self._paths), step):
+                for img in ex.map(self._reader, self._paths[c : c + step]):
+                    l, h = T.compute_log_minmax([img])
+                    lo, hi = min(lo, l), max(hi, h)
+        return lo, hi
+
     def _build_extra(self, rng):
         return [T.get_transform(n, a, rng) for n, a in self._extra_config]
 
     def __len__(self) -> int:
-        return len(self._native)
+        return len(self._paths)
+
+    def _stage_img(self, img: np.ndarray, h: int, w: int, extra) -> np.ndarray:
+        """The per-image staging pipeline (shared by the eager whole-set
+        stage and the lazy row decode — bit-identical by construction):
+        resize from native -> extra transforms -> normalise -> nan_to_num."""
+        x = T.resize_bilinear(img, h, w)
+        for f in extra:
+            x = f(x)
+        if self.normalise is not None:
+            x = self.normalise(x)
+        return np.nan_to_num(x).reshape(h * w, 3).astype(np.float32)
+
+    def _stage_row(self, i: int, res: tuple[int, int]) -> np.ndarray:
+        """Decode (lazy) or fetch (eager) image ``i`` and stage it at
+        ``res``. Lazy mode requires deterministic extra transforms (enforced
+        at construction), so per-row staging is order-independent."""
+        img = (
+            self._reader(self._paths[i]) if self._native is None
+            else self._native[i]
+        )
+        return self._stage_img(img, res[0], res[1], self._extra_transforms)
+
+    def row_source_at(self, resolution: tuple[int, int]) -> "DiskRowSource":
+        """ndarray-like lazy view (S, H*W, 3) of one resolution stage:
+        ``src[rows]`` decodes exactly those files (through the native EXR
+        fast path) and ``src.prefetch(rows)`` starts background decodes the
+        next ``src[rows]`` joins — the out-of-core source the streaming
+        trainer pipelines (``TPU.STREAM_FROM_DISK``)."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=min(16, os.cpu_count() or 1)
+            )
+        return DiskRowSource(self, tuple(resolution), self._pool)
 
     def images_host_at(
         self, resolution: tuple[int, int], epoch: int | None = None
@@ -173,6 +247,13 @@ class EnvironmentMapDataset:
         reaugment = epoch is not None and self.has_random_transforms
         if not reaugment and res in self._host_cache:
             return self._host_cache[res]
+        if self._native is None:
+            # lazy mode: materialise through the row source (bounded callers
+            # only — eval/example-image paths on small splits; training
+            # never calls this when streaming from disk). Not cached: the
+            # memory bound is the point of lazy mode.
+            src = self.row_source_at(res)
+            return src[np.arange(len(self))]
         h, w = res
         extra = (
             self._build_extra(np.random.default_rng((self._seed, epoch)))
@@ -180,21 +261,16 @@ class EnvironmentMapDataset:
             else self._extra_transforms
         )
 
-        def stage(img):
-            x = T.resize_bilinear(img, h, w)
-            for f in extra:
-                x = f(x)
-            if self.normalise is not None:
-                x = self.normalise(x)
-            return np.nan_to_num(x).reshape(h * w, 3)
-
         from concurrent.futures import ThreadPoolExecutor
 
         if extra:
-            out = [stage(img) for img in self._native]  # rng order stability
+            # rng order stability: random transforms draw sequentially
+            out = [self._stage_img(img, h, w, extra) for img in self._native]
         else:
             with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
-                out = list(ex.map(stage, self._native))
+                out = list(
+                    ex.map(lambda im: self._stage_img(im, h, w, extra), self._native)
+                )
         arr = np.stack(out).astype(np.float32)
         if not reaugment:
             self._host_cache[res] = arr
@@ -219,9 +295,55 @@ class EnvironmentMapDataset:
         return arr
 
 
+class DiskRowSource:
+    """ndarray-like view of one resolution stage of a lazy dataset.
+
+    Quacks like the (S, H*W, 3) host array the streaming trainer and the
+    example-image logger consume — ``.shape``, ``.dtype``, ``len``,
+    ``src[rows]`` — but decodes rows from disk on demand instead of holding
+    the dataset in host RAM. ``prefetch(rows)`` starts background decodes
+    (on the dataset's shared pool; the native EXR reader releases the GIL)
+    that the next ``src[rows]`` joins: the streaming runner prefetches
+    batch b+2 while step b computes and batch b+1 transfers."""
+
+    def __init__(self, dataset: EnvironmentMapDataset, res, pool):
+        self._ds = dataset
+        self._res = res
+        self._pool = pool
+        self.shape = (len(dataset), res[0] * res[1], 3)
+        self.dtype = np.float32
+        self._pending: dict[int, object] = {}
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def prefetch(self, rows) -> None:
+        for i in np.atleast_1d(np.asarray(rows)):
+            i = int(i)
+            if i not in self._pending:
+                self._pending[i] = self._pool.submit(
+                    self._ds._stage_row, i, self._res
+                )
+
+    def __getitem__(self, rows) -> np.ndarray:
+        rows = np.atleast_1d(np.asarray(rows))
+        out = np.empty((rows.size,) + self.shape[1:], np.float32)
+        for j, i in enumerate(rows.reshape(-1)):
+            i = int(i)
+            fut = self._pending.pop(i, None)
+            out[j] = fut.result() if fut is not None else self._ds._stage_row(
+                i, self._res
+            )
+        return out.reshape(tuple(rows.shape) + self.shape[1:])
+
+
 def get_dataset(
-    dataset_name: str, dataset_path: str, transform_config, is_hdr: bool
+    dataset_name: str,
+    dataset_path: str,
+    transform_config,
+    is_hdr: bool,
+    lazy: bool = False,
 ) -> EnvironmentMapDataset:
     """Factory matching the reference dispatch (datasets.py:169-173)."""
     hdr = dataset_name == "RENI_HDR" or (dataset_name == "CUSTOM" and is_hdr)
-    return EnvironmentMapDataset(dataset_path, hdr, transform_config)
+    return EnvironmentMapDataset(dataset_path, hdr, transform_config, lazy=lazy)

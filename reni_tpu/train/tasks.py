@@ -492,7 +492,13 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
         )
 
     def run(step_fn, state, images, n_epochs, batch_size):
-        images = np.asarray(images)  # host-resident source of truth
+        # host-resident source of truth: an ndarray, or an out-of-core
+        # row source (data.datasets.DiskRowSource — decodes rows from disk
+        # on demand; `prefetch` marks it and pipelines the decode)
+        pre = getattr(images, "prefetch", None)
+        if pre is None:
+            images = np.asarray(images)
+            pre = lambda rows: None
         dataset_size = images.shape[0]
         if mesh is not None:
             from reni_tpu.parallel.mesh import (
@@ -595,7 +601,10 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
             bm_ch = [put_mat(bmask[c * K : (c + 1) * K]) for c in range(n_chunks)]
             jrun = _chunk_runner(step_fn, gather)
             epoch_metrics = []
+            pre(perms[0])
             buf = put_chunk(images[perms[0]])
+            if n_chunks > 1:
+                pre(perms[1])
             with kmesh():
                 for e in range(n_epochs):
                     ms = []
@@ -605,8 +614,11 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
                             e == n_epochs - 1 and c == n_chunks - 1
                         ):
                             # the scan dispatch above is in flight; this
-                            # host gather + transfer overlaps it. A single
+                            # host gather + transfer overlaps it (and the
+                            # decode of the chunk after next starts in the
+                            # background on an out-of-core source). A single
                             # chunk (K == nb) stays staged across epochs.
+                            pre(perms[(c + 2) % n_chunks])
                             buf = put_chunk(images[perms[(c + 1) % n_chunks]])
                         ms.append(m)  # leaves: (K,) per-step metrics
                     epoch_metrics.append(
@@ -622,7 +634,10 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
         # segment, and a fresh jit wrapper per segment would recompile
         jstep = _jit_step(step_fn)
         epoch_metrics = []
+        pre(idx[0])
         buf = put_batch(images[idx[0]])
+        if nb > 1:
+            pre(idx[1])
         with kmesh():
             for e in range(n_epochs):
                 ms = []
@@ -630,8 +645,11 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
                     state, m = jstep(state, (buf, idx_d[b], bmask_d[b]))
                     if nb > 1 and not (e == n_epochs - 1 and b == nb - 1):
                         # async dispatch above is already in flight; this
-                        # gather+transfer overlaps the device step. nb == 1
-                        # reuses the single (unchanging) staged batch.
+                        # gather+transfer overlaps the device step (an
+                        # out-of-core source also starts decoding batch
+                        # b+2 in the background). nb == 1 reuses the
+                        # single (unchanging) staged batch.
+                        pre(idx[(b + 2) % nb])
                         buf = put_batch(images[idx[(b + 1) % nb]])
                     ms.append(m)
                 epoch_metrics.append(

@@ -215,6 +215,13 @@ _DEFAULTS = {
         # instead of 1. Rounded down to the largest divisor of the
         # per-epoch batch count (keeps chunks epoch-aligned).
         "STREAM_CHUNK": 1,
+        # out-of-core data path: decode batches from DISK on demand (lazy
+        # dataset + background-prefetched row decodes through the native
+        # EXR reader) instead of holding the decoded dataset in host RAM —
+        # for datasets larger than host memory. Implies STREAM_DATA for
+        # the training residency. Requires deterministic transforms (the
+        # random-transform RNG is sequential over the staged set).
+        "STREAM_FROM_DISK": False,
     },
 }
 

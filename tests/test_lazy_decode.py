@@ -1,0 +1,181 @@
+"""TPU.STREAM_FROM_DISK: the out-of-core data path (lazy per-row decode +
+background prefetch, data/datasets.py::DiskRowSource) must be bit-identical
+to the eager staged pipeline, and the streaming trainer driven by a row
+source must reproduce the resident fit exactly."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reni_tpu.core import sphere
+from reni_tpu.data import datasets as D
+from reni_tpu.models.reni import RENIConfig, RENIModel
+from reni_tpu.parallel import mesh as pmesh
+from reni_tpu.train import tasks
+from reni_tpu.train.optim import OptimConfig, build_optimizer
+
+
+@pytest.fixture(scope="module")
+def ldr_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("ldr")
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = (rng.uniform(size=(16, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(d / f"img{i}.png"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hdr_dir(tmp_path_factory):
+    from reni_tpu.data import exr
+
+    d = tmp_path_factory.mktemp("hdr")
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        img = np.exp(rng.normal(size=(16, 32, 3))).astype(np.float32)
+        exr.write(str(d / f"env{i}.exr"), img)
+    return str(d)
+
+
+LDR_TC = [["normalize", [[0.5] * 3, [0.5] * 3]]]
+
+
+def test_lazy_matches_eager_bit_exact(ldr_dir):
+    eager = D.EnvironmentMapDataset(ldr_dir, False, LDR_TC)
+    lazy = D.EnvironmentMapDataset(ldr_dir, False, LDR_TC, lazy=True)
+    a = eager.images_host_at((8, 16))
+    np.testing.assert_array_equal(a, lazy.images_host_at((8, 16)))
+
+    src = lazy.row_source_at((8, 16))
+    assert src.shape == a.shape and len(src) == a.shape[0]
+    rows = np.array([5, 0, 2, 5])  # out of order + duplicate
+    np.testing.assert_array_equal(src[rows], a[rows])
+    # prefetched futures join to the same values
+    src.prefetch([1, 4])
+    np.testing.assert_array_equal(src[np.array([4, 1])], a[[4, 1]])
+
+
+def test_lazy_hdr_minmax_discovery_matches(hdr_dir):
+    """Empty-args MinMaxNormalise (dataset min/max discovery in log domain,
+    reference datasets.py:90-101): the lazy streaming pass must find the
+    same constants as the eager whole-set pass, and stage identically."""
+    tc = [["minmaxnormalise", []]]
+    eager = D.EnvironmentMapDataset(hdr_dir, True, tc)
+    lazy = D.EnvironmentMapDataset(hdr_dir, True, tc, lazy=True)
+    assert eager.minmax == lazy.minmax
+    np.testing.assert_array_equal(
+        eager.images_host_at((8, 16)), lazy.images_host_at((8, 16))
+    )
+
+
+def test_lazy_rejects_random_transforms(ldr_dir):
+    with pytest.raises(ValueError, match="random"):
+        D.EnvironmentMapDataset(
+            ldr_dir, False, LDR_TC + [["randomhorizontalflip", []]], lazy=True
+        )
+
+
+def _fit_setup(n_images, width, batch_size):
+    model = RENIModel(
+        RENIConfig(
+            model_type="VariationalAutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=n_images)
+    optimizer = build_optimizer(
+        OptimConfig(lr_start=1e-3, lr_end=1e-4, epochs=3, steps_per_epoch=3)
+    )
+    step_fn = tasks.make_fit_decoder_step(
+        model,
+        optimizer,
+        sphere.get_directions(width),
+        sphere.get_sineweight(width),
+        kld_weighting=1e-4,
+    )
+    state = tasks.init_train_state(model, params, optimizer, jax.random.PRNGKey(1))
+    return step_fn, state
+
+
+def test_streaming_fit_from_disk_matches_resident(ldr_dir):
+    """The streaming runner driven by a DiskRowSource (per-step AND chunked,
+    single-device AND on a mesh) reproduces the resident fit on the eager
+    staged array."""
+    lazy = D.EnvironmentMapDataset(ldr_dir, False, LDR_TC, lazy=True)
+    src = lazy.row_source_at((8, 16))
+    eager_arr = D.EnvironmentMapDataset(ldr_dir, False, LDR_TC).images_host_at(
+        (8, 16)
+    )
+
+    step_fn, state = _fit_setup(6, 16, 2)
+    st_res, m_res = tasks.run_stage(step_fn, state, jnp.asarray(eager_arr), 3, 2)
+
+    def check(st, m):
+        for xa, xb in zip(
+            jax.tree_util.tree_leaves(st_res.params),
+            jax.tree_util.tree_leaves(jax.device_get(st.params)),
+        ):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(m_res["loss"]), np.asarray(m["loss"]), atol=1e-5, rtol=1e-5
+        )
+
+    check(*tasks.streaming_stage_runner()(step_fn, state, src, 3, 2))
+    check(*tasks.streaming_stage_runner(chunk=3)(step_fn, state, src, 3, 2))
+
+    mesh = pmesh.make_mesh(n_data=2, n_pixel=2)
+    check(*tasks.streaming_stage_runner(mesh)(step_fn, state, src, 3, 2))
+    check(*tasks.streaming_stage_runner(mesh, chunk=2)(step_fn, state, src, 3, 2))
+
+
+def test_fit_task_from_disk_end_to_end(ldr_dir):
+    """fit_task(stream=True) with row-source images_at — the CLI's
+    STREAM_FROM_DISK wiring — matches the resident fit."""
+    lazy = D.EnvironmentMapDataset(ldr_dir, False, LDR_TC, lazy=True)
+    eager = D.EnvironmentMapDataset(ldr_dir, False, LDR_TC)
+    model = RENIModel(
+        RENIConfig(
+            model_type="AutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), dataset_size=6)
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
+        batch_size=3,
+        epochs=4,
+        multi_res_training=False,
+        final_resolution=(8, 16),
+    )
+    p_disk, m_disk = tasks.fit_task(
+        model, params, cfg,
+        lambda res, epoch=None: lazy.row_source_at(res),
+        jax.random.PRNGKey(1), stream=True, stream_chunk=2,
+    )
+    p_res, m_res = tasks.fit_task(
+        model, params, cfg,
+        lambda res, epoch=None: eager.images_at(res),
+        jax.random.PRNGKey(1),
+    )
+    for xa, xb in zip(
+        jax.tree_util.tree_leaves(p_res), jax.tree_util.tree_leaves(p_disk)
+    ):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-6)
+    for k in m_res:
+        np.testing.assert_allclose(
+            np.asarray(m_res[k]), np.asarray(m_disk[k]), atol=1e-5, rtol=1e-5
+        )
