@@ -304,36 +304,58 @@ class DiskRowSource:
     the dataset in host RAM. ``prefetch(rows)`` starts background decodes
     (on the dataset's shared pool; the native EXR reader releases the GIL)
     that the next ``src[rows]`` joins: the streaming runner prefetches
-    batch b+2 while step b computes and batch b+1 transfers."""
+    batch b+2 while step b computes and batch b+1 transfers.
 
-    def __init__(self, dataset: EnvironmentMapDataset, res, pool):
+    Recently decoded rows stay in a small LRU (a few batches, evicted past
+    ``cache_rows``), so the repeated per-shard callbacks of a multi-process
+    staging (``parallel.mesh.put_rows``) and pixel-axis-sharded meshes do
+    not re-decode; ``decodes`` counts actual stagings for tests and the
+    per-host decode-economy assertion. Not thread-safe across callers (the
+    trainer drives it from one thread; the pool only runs decode work)."""
+
+    def __init__(self, dataset: EnvironmentMapDataset, res, pool,
+                 cache_rows: int = 512):
         self._ds = dataset
         self._res = res
         self._pool = pool
         self.shape = (len(dataset), res[0] * res[1], 3)
         self.dtype = np.float32
-        self._pending: dict[int, object] = {}
+        self._cache_rows = cache_rows
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[int, object]" = OrderedDict()  # row -> Future
+        self.decodes = 0
 
     def __len__(self) -> int:
         return self.shape[0]
 
+    def _submit(self, i: int):
+        self.decodes += 1
+        return self._pool.submit(self._ds._stage_row, i, self._res)
+
     def prefetch(self, rows) -> None:
         for i in np.atleast_1d(np.asarray(rows)):
             i = int(i)
-            if i not in self._pending:
-                self._pending[i] = self._pool.submit(
-                    self._ds._stage_row, i, self._res
-                )
+            if i in self._cache:
+                self._cache.move_to_end(i)
+            else:
+                self._cache[i] = self._submit(i)
+        self._evict()
+
+    def _evict(self) -> None:
+        while len(self._cache) > self._cache_rows:
+            self._cache.popitem(last=False)
 
     def __getitem__(self, rows) -> np.ndarray:
         rows = np.atleast_1d(np.asarray(rows))
-        out = np.empty((rows.size,) + self.shape[1:], np.float32)
-        for j, i in enumerate(rows.reshape(-1)):
-            i = int(i)
-            fut = self._pending.pop(i, None)
-            out[j] = fut.result() if fut is not None else self._ds._stage_row(
-                i, self._res
-            )
+        flat = rows.reshape(-1)
+        # the LRU must hold at least a few requests' worth of rows, or a
+        # request larger than the cache would evict its own entries
+        self._cache_rows = max(self._cache_rows, 4 * flat.size)
+        self.prefetch(flat)  # cache hits are free; misses decode in parallel
+        out = np.empty((flat.size,) + self.shape[1:], np.float32)
+        for j, i in enumerate(flat):
+            out[j] = self._cache[int(i)].result()
         return out.reshape(tuple(rows.shape) + self.shape[1:])
 
 

@@ -179,6 +179,42 @@ def stream_chunk_layout(
     return perm, rows
 
 
+def put_rows(source, rows: "np.ndarray", sharding: NamedSharding):
+    """Stage ``source[rows]`` (a batch or streaming super-slice) with
+    ``sharding``, materialising only this process's rows.
+
+    Single-process: a plain gather + device_put. Multi-process: the
+    per-shard callback gathers ``rows[shard-slice]`` only — with an
+    out-of-core source (``data.datasets.DiskRowSource``) each host decodes
+    exactly its own addressable rows of every batch, the per-host data
+    economy a pod loader needs (the source's LRU absorbs the repeated
+    callbacks of pixel-axis-sharded meshes)."""
+    if jax.process_count() == 1:
+        return jax.device_put(source[rows], sharding)
+    shape = (len(rows),) + tuple(source.shape[1:])
+
+    def cb(idx):
+        block = source[np.asarray(rows[idx[0]])]
+        return block[(slice(None),) + tuple(idx[1:])]
+
+    return jax.make_array_from_callback(shape, sharding, cb)
+
+
+def batch_local_positions(
+    sharding: NamedSharding, shape: tuple
+) -> "np.ndarray | None":
+    """Positions (into the leading/batch axis) of this process's
+    addressable rows under ``sharding``, or None when that is all of them
+    (single-process). Lets the streaming runner prefetch only the rows
+    this host will actually stage."""
+    if jax.process_count() == 1:
+        return None
+    pos = set()
+    for idx in sharding.addressable_devices_indices_map(tuple(shape)).values():
+        pos.update(range(*idx[0].indices(shape[0])))
+    return np.asarray(sorted(pos))
+
+
 @functools.lru_cache(maxsize=32)
 def chunk_gather(mesh: Mesh, pix: str | None):
     """Collective-free per-step batch gather out of a data-sharded

@@ -502,11 +502,13 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
         dataset_size = images.shape[0]
         if mesh is not None:
             from reni_tpu.parallel.mesh import (
+                batch_local_positions,
                 batch_sharding,
                 chunk_gather,
                 kernel_mesh,
                 pad_batch_to,
                 pixel_axis_or_none,
+                put_rows,
                 put_sharded,
                 state_sharding,
                 stream_chunk_layout,
@@ -535,12 +537,16 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
                 unpad = lambda st: unpad_latent_rows(st, pad_sizes)
             else:
                 unpad = lambda st: st
-            # put_sharded = device_put single-process; on a jax.distributed
-            # cluster each process contributes its addressable shards only
-            put_batch = lambda x: put_sharded(x, batch_sh)
+            # put_rows stages source[rows] per addressable shard: on a
+            # jax.distributed cluster each process gathers (and, for an
+            # out-of-core source, DECODES) only its own rows of each batch
             put_vec = lambda v: put_sharded(v, vec_sh)
-            put_chunk = lambda x: put_sharded(x, chunk_sh)
             put_mat = lambda x: put_sharded(x, mat_sh)
+            fetch_batch = lambda rows: put_rows(images, rows, batch_sh)
+            fetch_chunk = lambda rows: put_rows(images, rows, chunk_sh)
+            local_of = lambda sh, n: batch_local_positions(
+                sh, (n,) + tuple(images.shape[1:])
+            )
             gather = chunk_gather(
                 mesh, pixel_axis_or_none(mesh, images.shape[1])
             )
@@ -549,10 +555,12 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
         else:
             import contextlib
 
-            put_batch = jax.device_put
             put_vec = jax.device_put
-            put_chunk = jax.device_put
             put_mat = jax.device_put
+            fetch_batch = lambda rows: jax.device_put(images[rows])
+            fetch_chunk = fetch_batch
+            local_of = lambda sh, n: None
+            batch_sh = chunk_sh = None
             gather = None
             layout = lambda idx_chunk: (
                 idx_chunk.reshape(-1),
@@ -601,10 +609,15 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
             bm_ch = [put_mat(bmask[c * K : (c + 1) * K]) for c in range(n_chunks)]
             jrun = _chunk_runner(step_fn, gather)
             epoch_metrics = []
-            pre(perms[0])
-            buf = put_chunk(images[perms[0]])
+            # prefetch only this host's rows of each super-slice
+            loc_c = local_of(chunk_sh, K * batch_size)
+            pre_c = pre if loc_c is None else (
+                lambda rows: pre(np.asarray(rows)[loc_c])
+            )
+            pre_c(perms[0])
+            buf = fetch_chunk(perms[0])
             if n_chunks > 1:
-                pre(perms[1])
+                pre_c(perms[1])
             with kmesh():
                 for e in range(n_epochs):
                     ms = []
@@ -618,8 +631,8 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
                             # decode of the chunk after next starts in the
                             # background on an out-of-core source). A single
                             # chunk (K == nb) stays staged across epochs.
-                            pre(perms[(c + 2) % n_chunks])
-                            buf = put_chunk(images[perms[(c + 1) % n_chunks]])
+                            pre_c(perms[(c + 2) % n_chunks])
+                            buf = fetch_chunk(perms[(c + 1) % n_chunks])
                         ms.append(m)  # leaves: (K,) per-step metrics
                     epoch_metrics.append(
                         jax.tree.map(lambda *xs: jnp.concatenate(xs).mean(), *ms)
@@ -634,10 +647,15 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
         # segment, and a fresh jit wrapper per segment would recompile
         jstep = _jit_step(step_fn)
         epoch_metrics = []
-        pre(idx[0])
-        buf = put_batch(images[idx[0]])
+        # prefetch only this host's rows of each batch
+        loc_b = local_of(batch_sh, batch_size)
+        pre_b = pre if loc_b is None else (
+            lambda rows: pre(np.asarray(rows)[loc_b])
+        )
+        pre_b(idx[0])
+        buf = fetch_batch(idx[0])
         if nb > 1:
-            pre(idx[1])
+            pre_b(idx[1])
         with kmesh():
             for e in range(n_epochs):
                 ms = []
@@ -649,8 +667,8 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
                         # out-of-core source also starts decoding batch
                         # b+2 in the background). nb == 1 reuses the
                         # single (unchanging) staged batch.
-                        pre(idx[(b + 2) % nb])
-                        buf = put_batch(images[idx[(b + 1) % nb]])
+                        pre_b(idx[(b + 2) % nb])
+                        buf = fetch_batch(idx[(b + 1) % nb])
                     ms.append(m)
                 epoch_metrics.append(
                     jax.tree.map(lambda *xs: jnp.stack(xs).mean(), *ms)

@@ -108,9 +108,39 @@ def main():
             jax.tree_util.tree_flatten(_fetch(state.params))[0],
         )
 
+    # out-of-core streaming across processes (RENI_TEST_LDR_DIR): each host
+    # must DECODE only its own addressable rows of every batch (put_rows +
+    # locality-filtered prefetch) — the pod data-loader economy
+    import os
+
+    disk = None
+    ldr_dir = os.environ.get("RENI_TEST_LDR_DIR")
+    if ldr_dir:
+        from reni_tpu.data.datasets import EnvironmentMapDataset
+
+        ds = EnvironmentMapDataset(
+            ldr_dir, False, [["normalize", [[0.5] * 3, [0.5] * 3]]], lazy=True
+        )
+        src = ds.row_source_at((8, 16))
+        state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
+        runner = tasks.streaming_stage_runner(mesh)
+        state, metrics = runner(step, state, src, 2, 2)
+        disk = (
+            np.asarray(metrics["loss"]),
+            jax.tree_util.tree_flatten(_fetch(state.params))[0],
+        )
+        with open(f"{out_path}.decodes.{proc}", "w") as f:
+            f.write(str(src.decodes))
+
     if multihost.is_primary():
         loss, leaves = results[False]
         loss_sl, leaves_sl = results[True]
+        extra = {}
+        if disk is not None:
+            extra["loss_disk"] = disk[0]
+            extra.update(
+                {f"dleaf{i}": np.asarray(l) for i, l in enumerate(disk[1])}
+            )
         np.savez(
             out_path,
             loss=loss,
@@ -124,6 +154,7 @@ def main():
                for i, l in enumerate(stream_losses[1][1])},
             **{f"st3leaf{i}": np.asarray(l)
                for i, l in enumerate(stream_losses[3][1])},
+            **extra,
         )
 
 

@@ -397,12 +397,22 @@ def test_cli_chain_with_stream_data(tmp_path, tiny_dataset):
     cfg2.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / "runs_stream")
     results_str, log_dir = main(cfg2)
 
+    # ... and through STREAM_FROM_DISK (out-of-core: lazy decode +
+    # prefetch) with chunked dispatches (STREAM_CHUNK)
+    cfg3 = _tiny_config(tmp_path, tiny_dataset)
+    cfg3.TPU.STREAM_FROM_DISK = True
+    cfg3.TPU.STREAM_CHUNK = 2
+    cfg3.TRAINER.LOGGER.TB.SAVE_DIR = str(tmp_path / "runs_disk")
+    results_disk, _ = main(cfg3)
+
     for task in ("FIT_DECODER", "FIT_LATENT"):
         m_res = results_res[task][1][f"{task.lower()}_loss"]
-        m_str = results_str[task][1][f"{task.lower()}_loss"]
-        np.testing.assert_allclose(
-            np.asarray(m_res), np.asarray(m_str), atol=1e-4, rtol=1e-4
-        )
+        for other in (results_str, results_disk):
+            np.testing.assert_allclose(
+                np.asarray(m_res),
+                np.asarray(other[task][1][f"{task.lower()}_loss"]),
+                atol=1e-4, rtol=1e-4,
+            )
     # artifacts exist as usual
     ckpt_dir = os.path.join(log_dir, "checkpoints")
     assert os.path.exists(os.path.join(ckpt_dir, "fit_latent_final.npz"))

@@ -30,12 +30,24 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     port = _free_port()
     out = str(tmp_path / "proc0.npz")
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+    # files for the out-of-core (lazy decode) streaming segment
+    from PIL import Image
+
+    ldr_dir = tmp_path / "ldr_econ"
+    ldr_dir.mkdir()
+    rng = np.random.default_rng(23)
+    for i in range(6):
+        arr = (rng.uniform(size=(16, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(ldr_dir / f"img{i}.png"))
+
     env = dict(os.environ)
     env.update(
         PALLAS_AXON_POOL_IPS="",
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
         PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        RENI_TEST_LDR_DIR=str(ldr_dir),
     )
     procs = [
         subprocess.Popen(
@@ -126,6 +138,30 @@ def test_two_process_cluster_matches_single_process(tmp_path):
                 got[f"st{chunk}leaf{i}"], np.asarray(ref), atol=3e-5,
                 err_msg=f"stream chunk={chunk} leaf {i} diverged",
             )
+
+    # out-of-core streaming: matches a single-process resident fit on the
+    # eagerly staged files, AND each host decoded only its own rows
+    from reni_tpu.data.datasets import EnvironmentMapDataset
+
+    ds = EnvironmentMapDataset(
+        str(tmp_path / "ldr_econ"), False,
+        [["normalize", [[0.5] * 3, [0.5] * 3]]],
+    )
+    imgs_files = jnp.asarray(ds.images_host_at((8, 16)))
+    state4 = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
+    state4, m4 = pmesh.sharded_stage_runner(mesh)(step, state4, imgs_files, 2, 2)
+    np.testing.assert_allclose(got["loss_disk"], np.asarray(m4["loss"]), rtol=2e-5)
+    for i, ref in enumerate(jax.tree_util.tree_leaves(jax.device_get(state4.params))):
+        np.testing.assert_allclose(
+            got[f"dleaf{i}"], np.asarray(ref), atol=3e-5,
+            err_msg=f"out-of-core leaf {i} diverged",
+        )
+    decode_counts = [
+        int(open(out + f".decodes.{p}").read()) for p in range(2)
+    ]
+    # 6 images: a host decoding the whole set would hit 6; per-host rows
+    # (data axis 4, batch padded to 4, nb=2, +row-0 padding) stay under it
+    assert all(0 < c < 6 for c in decode_counts), decode_counts
 
 
 def test_cli_two_process_cluster(tmp_path):
