@@ -248,12 +248,20 @@ class EnvironmentMapDataset:
         if not reaugment and res in self._host_cache:
             return self._host_cache[res]
         if self._native is None:
-            # lazy mode: materialise through the row source (bounded callers
-            # only — eval/example-image paths on small splits; training
-            # never calls this when streaming from disk). Not cached: the
-            # memory bound is the point of lazy mode.
-            src = self.row_source_at(res)
-            return src[np.arange(len(self))]
+            # lazy mode: materialise directly at 1x residency (bounded
+            # callers only — eval/example-image paths on small splits;
+            # training never calls this when streaming from disk). Not
+            # cached, and not via DiskRowSource (whose LRU would pin a
+            # second copy): the memory bound is the point of lazy mode.
+            from concurrent.futures import ThreadPoolExecutor
+
+            h, w = res
+            arr = np.empty((len(self), h * w, 3), np.float32)
+            with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
+                rows = ex.map(lambda i: self._stage_row(i, res), range(len(self)))
+                for i, row in enumerate(rows):
+                    arr[i] = row
+            return arr
         h, w = res
         extra = (
             self._build_extra(np.random.default_rng((self._seed, epoch)))
@@ -347,8 +355,13 @@ class DiskRowSource:
             self._cache.popitem(last=False)
 
     def __getitem__(self, rows) -> np.ndarray:
-        rows = np.atleast_1d(np.asarray(rows))
-        flat = rows.reshape(-1)
+        # honour the ndarray indexing contract for the forms consumers use:
+        # int -> (P, 3); slice -> (n, P, 3); index array -> rows-shaped
+        if isinstance(rows, slice):
+            rows = np.arange(*rows.indices(self.shape[0]))
+        rows = np.asarray(rows)
+        scalar = rows.ndim == 0
+        flat = np.atleast_1d(rows).reshape(-1)
         # the LRU must hold at least a few requests' worth of rows, or a
         # request larger than the cache would evict its own entries
         self._cache_rows = max(self._cache_rows, 4 * flat.size)
@@ -356,6 +369,8 @@ class DiskRowSource:
         out = np.empty((flat.size,) + self.shape[1:], np.float32)
         for j, i in enumerate(flat):
             out[j] = self._cache[int(i)].result()
+        if scalar:
+            return out[0]
         return out.reshape(tuple(rows.shape) + self.shape[1:])
 
 

@@ -192,9 +192,13 @@ def put_rows(source, rows: "np.ndarray", sharding: NamedSharding):
     if jax.process_count() == 1:
         return jax.device_put(source[rows], sharding)
     shape = (len(rows),) + tuple(source.shape[1:])
+    blocks: dict = {}  # row-slice -> gathered block (pixel/model shards reuse)
 
     def cb(idx):
-        block = source[np.asarray(rows[idx[0]])]
+        key = (idx[0].start, idx[0].stop, idx[0].step)
+        block = blocks.get(key)
+        if block is None:
+            block = blocks[key] = source[np.asarray(rows[idx[0]])]
         return block[(slice(None),) + tuple(idx[1:])]
 
     return jax.make_array_from_callback(shape, sharding, cb)

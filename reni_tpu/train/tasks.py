@@ -547,7 +547,8 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
             local_of = lambda sh, n: batch_local_positions(
                 sh, (n,) + tuple(images.shape[1:])
             )
-            gather = chunk_gather(
+            # built lazily: only the chunked (K > 1) path uses the gather
+            make_gather = lambda: chunk_gather(
                 mesh, pixel_axis_or_none(mesh, images.shape[1])
             )
             layout = lambda idx_chunk: stream_chunk_layout(mesh, idx_chunk)
@@ -561,7 +562,7 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
             fetch_chunk = fetch_batch
             local_of = lambda sh, n: None
             batch_sh = chunk_sh = None
-            gather = None
+            make_gather = lambda: None
             layout = lambda idx_chunk: (
                 idx_chunk.reshape(-1),
                 np.arange(idx_chunk.size).reshape(idx_chunk.shape),
@@ -598,16 +599,16 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
             # per-chunk constants: scan xs (shard-local rows into the
             # staged slice, global dataset idx for the latent rows,
             # ragged-tail masks); perms order each staged slice so a data
-            # shard's block holds exactly its own rows (collective-free)
-            perms = []
-            rows = None
-            for c in range(n_chunks):
-                perm, rows = layout(idx[c * K : (c + 1) * K])
-                perms.append(perm)
-            rows_d = put_mat(rows)
+            # shard's block holds exactly its own rows (collective-free).
+            # `rows` depends only on (K, B, n_data) — identical for every
+            # chunk — so it is computed once from the first chunk's layout
+            perms = [
+                layout(idx[c * K : (c + 1) * K])[0] for c in range(n_chunks)
+            ]
+            rows_d = put_mat(layout(idx[:K])[1])
             idx_ch = [put_mat(idx[c * K : (c + 1) * K]) for c in range(n_chunks)]
             bm_ch = [put_mat(bmask[c * K : (c + 1) * K]) for c in range(n_chunks)]
-            jrun = _chunk_runner(step_fn, gather)
+            jrun = _chunk_runner(step_fn, make_gather())
             epoch_metrics = []
             # prefetch only this host's rows of each super-slice
             loc_c = local_of(chunk_sh, K * batch_size)

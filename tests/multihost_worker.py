@@ -94,12 +94,13 @@ def main():
 
     # multi-process STREAM_DATA: the host dataset (same on every process,
     # DDP semantics) streams per-step / per-super-slice; every process
-    # contributes only its addressable shard of each transfer. chunk=3
-    # also exercises the shard_map'd collective-free chunk gather across
-    # process boundaries (6 imgs, batch 2 -> nb=3 -> K=3).
+    # contributes only its addressable shard of each transfer. chunk=2
+    # exercises the shard_map'd collective-free chunk gather across
+    # process boundaries (batch 2 pads to 4 on the 4-wide data axis, so
+    # nb=2 and K=2: one super-slice per epoch).
     imgs_host = synthetic_images(6, 16, seed=31)
     stream_losses = {}
-    for chunk in (1, 3):
+    for chunk in (1, 2):
         state = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
         runner = tasks.streaming_stage_runner(mesh, chunk=chunk)
         state, metrics = runner(step, state, imgs_host, 3, 2)
@@ -146,14 +147,14 @@ def main():
             loss=loss,
             loss_shard_latents=loss_sl,
             loss_stream1=stream_losses[1][0],
-            loss_stream3=stream_losses[3][0],
+            loss_stream2=stream_losses[2][0],
             n_global_devices=jax.device_count(),
             **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)},
             **{f"sleaf{i}": np.asarray(l) for i, l in enumerate(leaves_sl)},
             **{f"st1leaf{i}": np.asarray(l)
                for i, l in enumerate(stream_losses[1][1])},
-            **{f"st3leaf{i}": np.asarray(l)
-               for i, l in enumerate(stream_losses[3][1])},
+            **{f"st2leaf{i}": np.asarray(l)
+               for i, l in enumerate(stream_losses[2][1])},
             **extra,
         )
 

@@ -58,6 +58,10 @@ def test_lazy_matches_eager_bit_exact(ldr_dir):
     # prefetched futures join to the same values
     src.prefetch([1, 4])
     np.testing.assert_array_equal(src[np.array([4, 1])], a[[4, 1]])
+    # ndarray indexing contract: int -> (P, 3); slice -> (n, P, 3)
+    assert src[3].shape == a[3].shape
+    np.testing.assert_array_equal(src[3], a[3])
+    np.testing.assert_array_equal(src[1:4], a[1:4])
 
 
 def test_lazy_hdr_minmax_discovery_matches(hdr_dir):

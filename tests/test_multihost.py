@@ -121,7 +121,7 @@ def test_two_process_cluster_matches_single_process(tmp_path):
                 err_msg=f"{tag} {i} diverged between 2-process and single-process",
             )
 
-    # multi-process STREAM_DATA (chunk 1 and 3) must match a single-process
+    # multi-process STREAM_DATA (chunk 1 and 2) must match a single-process
     # resident fit at the SAME batch size (2) — per-host transfers carry
     # only that host's addressable batch rows
     state2 = tasks.init_train_state(model, params0, opt, jax.random.PRNGKey(1))
@@ -129,7 +129,7 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         step, state2, images, 3, 2
     )
     ref_leaves, _ = jax.tree_util.tree_flatten(jax.device_get(state2.params))
-    for chunk in (1, 3):
+    for chunk in (1, 2):
         np.testing.assert_allclose(
             got[f"loss_stream{chunk}"], np.asarray(metrics2["loss"]), rtol=2e-5
         )
