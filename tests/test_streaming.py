@@ -275,6 +275,22 @@ def test_streaming_chunked_matches_resident():
             )
 
 
+def test_stream_chunk_clamped_by_scan_step_cap(monkeypatch):
+    """RENI_TPU_MAX_SCAN_STEPS (the per-dispatch step cap crash-resume
+    budgets around) must clamp K: chunk=4 with a cap of 2 runs K=2 —
+    and still matches the resident fit."""
+    monkeypatch.setenv("RENI_TPU_MAX_SCAN_STEPS", "2")
+    model, step_fn, state, images, bs = _setup(n_images=8, batch_size=2)
+    st_res, m_res = tasks.run_stage(step_fn, state, jnp.asarray(images), 2, bs)
+    st_str, m_str = tasks.streaming_stage_runner(chunk=4)(
+        step_fn, state, images, 2, bs
+    )
+    _trees_close(st_res.params, st_str.params, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m_res["loss"]), np.asarray(m_str["loss"]), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_streaming_chunked_on_mesh():
     """Chunked streaming over a data x pixel mesh: the (K·B, P, 3) staged
     super-slice + in-scan row gather reproduces the unsharded resident fit
