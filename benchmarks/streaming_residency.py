@@ -1,0 +1,102 @@
+"""Measure resident vs streaming (chunk=1, K) trainer throughput at the
+published flagship workload on the attached chip.
+
+Usage: python benchmarks/streaming_residency.py [--small] [--epochs N]
+(writes /tmp/stream_bench.json; --small = tiny CPU logic check)
+
+Flagship: VAD, Cond-by-Concat, SO2, N=49, 5x256, fused Pallas trunk +
+fast sine (the shipped default), batch 100 at 64x128 (P=8192).
+Dataset: synthetic 4000 maps -> nb=40 batches/epoch (the scale where
+STREAM_DATA is the point: ~0.4 GB of images, 42x-safe rank-3 layouts).
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reni_tpu.core import sphere
+from reni_tpu.models.reni import RENIConfig, RENIModel
+from reni_tpu.train import tasks
+from reni_tpu.train.optim import OptimConfig, build_optimizer
+
+p = argparse.ArgumentParser()
+p.add_argument("--small", action="store_true", help="tiny shapes (CPU logic check)")
+p.add_argument("--epochs", type=int, default=3)
+args = p.parse_args()
+
+if args.small:
+    S, B, width, N, layers, hidden = 40, 4, 32, 4, 1, 32
+else:
+    S, B, width, N, layers, hidden = 4000, 100, 128, 49, 5, 256
+
+model = RENIModel(
+    RENIConfig(
+        model_type="VariationalAutoDecoder",
+        conditioning="Cond-by-Concat",
+        equivariance="SO2",
+        latent_dim=N,
+        hidden_layers=layers,
+        hidden_features=hidden,
+        output_activation="tanh",
+        use_pallas=not args.small,
+    )
+)
+params = model.init(jax.random.PRNGKey(0), dataset_size=S)
+directions = sphere.get_directions(width)
+sineweight = sphere.get_sineweight(width)
+P = directions.shape[1]
+nb = -(-S // B)
+optimizer = build_optimizer(
+    OptimConfig(lr_start=1e-5, lr_end=1e-7, epochs=100, steps_per_epoch=nb)
+)
+step_fn = tasks.make_fit_decoder_step(
+    model, optimizer, directions, sineweight, kld_weighting=1e-4
+)
+rng = np.random.default_rng(1)
+images = rng.normal(size=(S, P, 3)).astype(np.float32) * 0.1
+
+E = args.epochs
+results = {"workload": {"S": S, "B": B, "P": P, "nb": nb, "epochs": E}}
+
+
+def fresh_state():
+    return tasks.init_train_state(model, params, optimizer, jax.random.PRNGKey(2))
+
+
+def timed(name, fn):
+    # warm-up run compiles (same epoch count: the resident scan's program
+    # is static in length); then one timed run (dependent chain: each epoch
+    # depends on the previous state, so tunnel pipelining can't fake it)
+    st, _ = fn(fresh_state(), E)
+    jax.block_until_ready(st.params)
+    t0 = time.perf_counter()
+    st, m = fn(fresh_state(), E)
+    jax.block_until_ready(st.params)
+    dt = time.perf_counter() - t0
+    sps = E * nb * B * P / dt
+    results[name] = {
+        "wall_s": round(dt, 3),
+        "steps_per_s": round(E * nb / dt, 2),
+        "samples_per_s": round(sps, 0),
+        "final_loss": float(np.asarray(m["loss"])[-1]),
+    }
+    print(name, results[name], flush=True)
+
+
+imgs_dev = jnp.asarray(images)
+jax.block_until_ready(imgs_dev)
+timed("resident", lambda st, e: tasks.run_stage(step_fn, st, imgs_dev, e, B))
+
+run1 = tasks.streaming_stage_runner()
+timed("stream_chunk1", lambda st, e: run1(step_fn, st, images, e, B))
+
+for K in (8, nb):
+    runk = tasks.streaming_stage_runner(chunk=K)
+    timed(f"stream_chunk{K}", lambda st, e: runk(step_fn, st, images, e, B))
+
+with open("/tmp/stream_bench.json", "w") as f:
+    json.dump(results, f, indent=1)
+print(json.dumps(results))
