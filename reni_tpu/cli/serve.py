@@ -25,6 +25,13 @@ decode. Positive degrees shift the equirectangular map rightward
 
 Directions grids are cached per width; the artifact's symbolic (B, P)
 export means any batch/resolution compiles once per distinct shape.
+
+``--batch_window_ms W`` enables request micro-batching: concurrent
+same-width decodes arriving within W ms coalesce into ONE batched
+dispatch (the symbolic batch dim: no recompile) — per-request latency
+through a remote/tunneled chip is dominated by the dispatch round-trip,
+so coalescing multiplies QPS at +W ms latency. /healthz reports
+requests/dispatches/coalesced_rows when enabled.
 """
 
 from __future__ import annotations
@@ -39,6 +46,82 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class _MicroBatcher:
+    """Coalesces concurrent decode requests of the same width into one
+    batched dispatch (opt-in, ``--batch_window_ms``).
+
+    Per-request decode latency through a remote/tunneled chip is dominated
+    by the dispatch round-trip; the export's symbolic batch dimension means
+    a coalesced (ΣB, N, 3) decode costs one RTT and no recompile. A worker
+    thread sleeps ``window`` after the first queued request, then drains
+    every same-width request that fits under the daemon's batch cap into a
+    single decode; rotation is applied per request BEFORE enqueueing (a
+    host-side latent transform), so differently-rotated requests coalesce."""
+
+    def __init__(self, service: "DecoderService", window_ms: float):
+        import collections
+
+        self.service = service
+        self.window = float(window_ms) / 1000.0
+        self._q = collections.deque()
+        self._cv = threading.Condition()
+        self.stats = {"requests": 0, "dispatches": 0, "coalesced_rows": 0}
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def decode(self, z: np.ndarray, width: int) -> np.ndarray:
+        slot: dict = {"ev": threading.Event()}
+        with self._cv:
+            self._q.append((np.asarray(z, np.float32), int(width), slot))
+            self._cv.notify()
+        slot["ev"].wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def _loop(self):
+        import collections
+        import time
+
+        while True:
+            with self._cv:
+                while not self._q:
+                    self._cv.wait()
+            if self.window:
+                time.sleep(self.window)  # let concurrent requests arrive
+            with self._cv:
+                first = self._q.popleft()
+                group = [first]
+                rows = first[0].shape[0]
+                rest = collections.deque()
+                while self._q:
+                    item = self._q.popleft()
+                    if (
+                        item[1] == first[1]
+                        and rows + item[0].shape[0] <= self.service.max_batch
+                    ):
+                        group.append(item)
+                        rows += item[0].shape[0]
+                    else:
+                        rest.append(item)  # different width / over cap
+                self._q.extend(rest)  # preserve arrival order
+            self.stats["requests"] += len(group)
+            self.stats["dispatches"] += 1
+            self.stats["coalesced_rows"] += rows
+            try:
+                zs = np.concatenate([g[0] for g in group], axis=0)
+                out = self.service.decode(zs, first[1])
+            except Exception as e:  # fan the failure out to every waiter
+                for _, _, slot in group:
+                    slot["err"] = e
+                    slot["ev"].set()
+                continue
+            o = 0
+            for z, _, slot in group:
+                slot["out"] = out[o : o + z.shape[0]]
+                o += z.shape[0]
+                slot["ev"].set()
+
+
 class DecoderService:
     """Artifact + optional latent table; thread-safe decode calls."""
 
@@ -48,6 +131,7 @@ class DecoderService:
         checkpoint_path: str | None = None,
         max_width: int = 2048,
         max_batch: int = 64,
+        batch_window_ms: float = 0.0,
     ):
         from reni_tpu import serve as _serve
 
@@ -82,6 +166,9 @@ class DecoderService:
             self.latents = np.asarray(table)
         self._dirs: dict[int, np.ndarray] = {}
         self._lock = threading.Lock()
+        self.batcher = (
+            _MicroBatcher(self, batch_window_ms) if batch_window_ms > 0 else None
+        )
 
     def directions(self, width: int) -> np.ndarray:
         with self._lock:
@@ -112,9 +199,24 @@ class DecoderService:
     def decode_idx(self, idx, width: int, rotation_y: float = 0.0) -> np.ndarray:
         if self.latents is None:
             raise ValueError("no latent table: start the daemon with --checkpoint")
-        return self.decode(
+        return self.submit(
             self.latents[np.asarray(idx, dtype=np.int64)], width, rotation_y
         )
+
+    def submit(self, z: np.ndarray, width: int, rotation_y: float = 0.0) -> np.ndarray:
+        """decode(), routed through the micro-batcher when enabled —
+        rotation is a per-request host-side latent transform, applied here
+        so differently-rotated requests still coalesce."""
+        if self.batcher is None:
+            return self.decode(z, width, rotation_y)
+        if rotation_y:
+            from reni_tpu.core import sphere
+
+            r = sphere.rotation_y(-np.deg2rad(float(rotation_y))).astype(
+                np.float32
+            )
+            z = z @ r
+        return self.batcher.decode(z, width)
 
 
 def _encode(out: np.ndarray, fmt: str) -> dict:
@@ -144,17 +246,20 @@ def make_handler(service: DecoderService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(
-                    200,
-                    {
-                        "ok": True,
-                        "artifact": service.artifact_path,
-                        "has_latents": service.latents is not None,
-                        "dataset_size": None
-                        if service.latents is None
-                        else int(service.latents.shape[0]),
-                    },
-                )
+                body = {
+                    "ok": True,
+                    "artifact": service.artifact_path,
+                    "has_latents": service.latents is not None,
+                    "dataset_size": None
+                    if service.latents is None
+                    else int(service.latents.shape[0]),
+                }
+                if service.batcher is not None:
+                    body["batching"] = {
+                        "window_ms": service.batcher.window * 1000.0,
+                        **service.batcher.stats,
+                    }
+                self._reply(200, body)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -207,7 +312,7 @@ def make_handler(service: DecoderService):
                             },
                         )
                         return
-                    out = service.decode(z, width, rot)
+                    out = service.submit(z, width, rot)
                 elif self.path == "/decode_idx":
                     idx = np.asarray(req["idx"]).reshape(-1)
                     if idx.size > service.max_batch:
@@ -237,10 +342,12 @@ def make_server(
     port: int = 0,
     max_width: int = 2048,
     max_batch: int = 64,
+    batch_window_ms: float = 0.0,
 ) -> ThreadingHTTPServer:
     """Build (not run) the server; ``.server_address`` has the bound port."""
     service = DecoderService(
-        artifact, checkpoint, max_width=max_width, max_batch=max_batch
+        artifact, checkpoint, max_width=max_width, max_batch=max_batch,
+        batch_window_ms=batch_window_ms,
     )
     return ThreadingHTTPServer((host, port), make_handler(service))
 
@@ -259,10 +366,17 @@ def main(argv=None) -> int:
         "--max_batch", type=int, default=64,
         help="largest accepted decode batch (memory cap)",
     )
+    parser.add_argument(
+        "--batch_window_ms", type=float, default=0.0,
+        help="coalesce concurrent same-width decode requests arriving "
+        "within this window into one batched dispatch (0 = off); "
+        "amortises the per-dispatch round-trip of remote/tunneled chips",
+    )
     args = parser.parse_args(argv)
     httpd = make_server(
         args.artifact, args.checkpoint, args.host, args.port,
         max_width=args.max_width, max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
     )
     print(f"serving {args.artifact} on http://{args.host}:{httpd.server_address[1]}")
     try:
