@@ -203,6 +203,16 @@ class DecoderService:
             self.latents[np.asarray(idx, dtype=np.int64)], width, rotation_y
         )
 
+    def warmup(self, widths, batch: int = 1) -> None:
+        """Decode a dummy latent at each width so the first real request
+        doesn't pay the compile + weight upload (seconds through a
+        tunneled chip). The latent dim comes from the artifact's own
+        input signature ((b, N, 3) with only b/p symbolic)."""
+        n = int(self.fn.exported.in_avals[0].shape[1])
+        z = np.zeros((batch, n, 3), np.float32)
+        for w in widths:
+            self.decode(z, int(w))
+
     def submit(self, z: np.ndarray, width: int, rotation_y: float = 0.0) -> np.ndarray:
         """decode(), routed through the micro-batcher when enabled —
         rotation is a per-request host-side latent transform, applied here
@@ -349,7 +359,9 @@ def make_server(
         artifact, checkpoint, max_width=max_width, max_batch=max_batch,
         batch_window_ms=batch_window_ms,
     )
-    return ThreadingHTTPServer((host, port), make_handler(service))
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.reni_service = service  # for --warmup and tests
+    return httpd
 
 
 def main(argv=None) -> int:
@@ -372,12 +384,21 @@ def main(argv=None) -> int:
         "within this window into one batched dispatch (0 = off); "
         "amortises the per-dispatch round-trip of remote/tunneled chips",
     )
+    parser.add_argument(
+        "--warmup", default="",
+        help="comma-separated widths to pre-compile/upload at startup "
+        "(e.g. 128,256) so the first request doesn't pay the compile",
+    )
     args = parser.parse_args(argv)
     httpd = make_server(
         args.artifact, args.checkpoint, args.host, args.port,
         max_width=args.max_width, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms,
     )
+    if args.warmup:
+        widths = [int(w) for w in args.warmup.split(",") if w]
+        httpd.reni_service.warmup(widths)
+        print(f"warmed up widths {widths}")
     print(f"serving {args.artifact} on http://{args.host}:{httpd.server_address[1]}")
     try:
         httpd.serve_forever()

@@ -267,6 +267,9 @@ def test_http_micro_batching(tmp_path):
             th.join(timeout=120)
         assert set(results) == {0, 1, 2, 3}
 
+        # warmup decodes through the artifact signature (no HTTP, no error)
+        httpd.reni_service.warmup([16], batch=2)
+
         with urllib.request.urlopen(base + "/healthz") as r:
             health = json.loads(r.read())
         stats = health["batching"]
