@@ -400,6 +400,59 @@ def test_fit_task_stream_chunk_end_to_end():
         )
 
 
+def test_stream_resume_mid_task_matches_uninterrupted():
+    """Crash-recovery composition: a streaming+chunked fit interrupted at
+    epoch 3 (capturing what a checkpoint stores: params + opt state) and
+    resumed with start_epoch=3 must land exactly where the uninterrupted
+    6-epoch streaming fit lands."""
+    model = RENIModel(
+        RENIConfig(
+            model_type="AutoDecoder",
+            equivariance="SO2",
+            latent_dim=4,
+            hidden_layers=1,
+            hidden_features=32,
+            output_activation=None,
+        )
+    )
+    params0 = model.init(jax.random.PRNGKey(0), dataset_size=4)
+    rng = np.random.default_rng(29)
+    imgs = rng.normal(size=(4, 128, 3)).astype(np.float32)
+    images_at = lambda res, epoch=None: imgs
+    cfg = tasks.TaskConfig(
+        task="FIT_DECODER",
+        optim=OptimConfig(lr_start=1e-3, lr_end=1e-4),
+        batch_size=2,
+        epochs=6,
+        multi_res_training=False,
+        final_resolution=(8, 16),
+    )
+    kw = dict(stream=True, stream_chunk=2)
+
+    p_full, _ = tasks.fit_task(
+        model, params0, cfg, images_at, jax.random.PRNGKey(1), **kw
+    )
+
+    cap = {}
+
+    def cb(state, epoch, metrics, res):
+        if epoch == 3:
+            cap["params"] = jax.device_get(state.params)
+            cap["opt"] = jax.device_get(state.opt_state)
+            return True  # simulate the crash/stop after the checkpoint
+
+    tasks.fit_task(
+        model, params0, cfg, images_at, jax.random.PRNGKey(1),
+        callback_every=3, callback=cb, **kw
+    )
+    assert "params" in cap
+    p_resumed, _ = tasks.fit_task(
+        model, cap["params"], cfg, images_at, jax.random.PRNGKey(1),
+        start_epoch=3, initial_opt_state=cap["opt"], **kw
+    )
+    _trees_close(p_full, p_resumed, 1e-6)
+
+
 def test_streaming_with_reaugment():
     """stream=True composes with reaugment (per-epoch re-staged images):
     both runners consume the per-epoch host arrays identically."""
