@@ -361,6 +361,28 @@ def test_chunk_slice_data_sharded_residency():
     assert shard_rows == {16 // 4}
 
 
+def test_streaming_on_tp_mesh():
+    """Streaming (chunked) composes with a model (tensor-parallel) axis:
+    on a 2x2x2 data x pixel x model mesh the trunk runs Megatron-sharded
+    (state_sharding applies the TP layout) while batches stream — must
+    match the unsharded resident fit."""
+    model, step_fn, state, images, bs = _setup(n_images=8, batch_size=4)
+    n_epochs = 2
+    st_res, m_res = tasks.run_stage(step_fn, state, jnp.asarray(images), n_epochs, bs)
+
+    mesh = pmesh.make_mesh(n_data=2, n_pixel=2, n_model=2)
+    run_stream = tasks.streaming_stage_runner(mesh, chunk=2)
+    st_str, m_str = run_stream(step_fn, state, images, n_epochs, bs)
+
+    _trees_close(
+        jax.device_get(st_res.params), jax.device_get(st_str.params), 1e-5
+    )
+    for k in m_res:
+        np.testing.assert_allclose(
+            np.asarray(m_res[k]), np.asarray(m_str[k]), atol=1e-4, rtol=1e-4
+        )
+
+
 def test_fit_task_stream_chunk_end_to_end():
     """fit_task(stream=True, stream_chunk=2) — the public wiring — matches
     the resident fit through the curriculum."""
