@@ -244,6 +244,17 @@ def run_task(
         raise SystemExit(f"TPU.STREAM_CHUNK must be >= 1, got {stream_chunk}")
     if stream_chunk > 1 and not stream and primary:
         print("[reni_tpu] TPU.STREAM_CHUNK ignored without TPU.STREAM_DATA")
+    # TPU.PRECOMPILE: compile later curriculum stages in the background
+    # while the current stage trains (tunneled-chip chains are
+    # compile-dominated, PERF.md); resident single-program path only
+    precompile = bool(config.TPU.get("PRECOMPILE", False))
+    if precompile and (mesh is not None or stream) and primary:
+        print(
+            "[reni_tpu] TPU.PRECOMPILE ignored (mesh/STREAM_DATA run — "
+            "background precompile covers the resident path only)"
+        )
+    if precompile and mesh is None and not stream and primary:
+        print("[reni_tpu] TPU.PRECOMPILE: later stages compile in background")
     # streaming keeps even the staging source on the host; image grids index
     # a handful of rows out of it, so host arrays serve them fine too.
     # STREAM_FROM_DISK goes further: the ndarray-like row source decodes
@@ -389,6 +400,7 @@ def run_task(
             reaugment=reaugment,
             stream=stream,
             stream_chunk=stream_chunk,
+            precompile=precompile,
         )
 
     final = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR,

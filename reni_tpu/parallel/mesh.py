@@ -485,7 +485,7 @@ def sharded_stage_runner(mesh: Mesh, shard_latents: bool = False):
             # kernel_mesh: programs traced here dispatch the fused Pallas
             # trunk through a shard_map partitioned over data/pixel
             with kernel_mesh(mesh):
-                state, metrics = run(state, imgs_s, idx_b, bmask_b, seg)
+                state, metrics = run(state, imgs_s, idx_b, bmask_b, length=seg)
             chunks.append(metrics)
             done += seg
         state = unpad_latent_rows(state, pad_sizes)

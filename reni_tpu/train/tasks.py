@@ -426,12 +426,22 @@ def run_stage(
 
     images: (S, P, 3) device array (already normalised, flattened).
     Returns (state, metrics) with metrics values of shape (n_epochs,),
-    epoch values being the mean over batches (RENI_module.py:148-163)."""
+    epoch values being the mean over batches (RENI_module.py:148-163).
+
+    Every input is committed to the default device: jit keys its executable
+    cache on per-argument shardings, and a mix of committed/uncommitted
+    inputs (staged datasets are device_put, fresh index arrays are not)
+    would give each segment call an unpredictable signature — the
+    background stage precompiler (train/precompile.py) lowers against this
+    deterministic all-committed signature. device_put is a no-copy no-op
+    for data already on the device (every re-entry after the first)."""
     dataset_size = images.shape[0]
     idx, bmask = make_batches(dataset_size, batch_size)
-    images = jnp.asarray(images)
-    idx_b = jnp.asarray(idx)
-    bmask_b = jnp.asarray(bmask)
+    dev = jax.local_devices()[0]
+    images = jax.device_put(jnp.asarray(images), dev)
+    idx_b = jax.device_put(jnp.asarray(idx), dev)
+    bmask_b = jax.device_put(jnp.asarray(bmask), dev)
+    state = jax.tree.map(lambda x: jax.device_put(x, dev), state)
     nb = idx_b.shape[0]
 
     run = _scan_runner(step_fn)
@@ -442,7 +452,10 @@ def run_stage(
     done = 0
     while done < n_epochs:
         seg = min(epochs_per_program, n_epochs - done)
-        state, metrics = run(state, images, idx_b, bmask_b, seg)
+        # length by KEYWORD: jit keys static args by how they were passed,
+        # and the background precompiler lowers with length=<kw> — a
+        # positional call here would miss its pre-populated cache entry
+        state, metrics = run(state, images, idx_b, bmask_b, length=seg)
         chunks.append(metrics)
         done += seg
     if len(chunks) == 1:
@@ -699,6 +712,7 @@ def fit_task(
     shard_latents: bool = False,
     stream: bool = False,
     stream_chunk: int = 1,
+    precompile: bool = False,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
 
@@ -719,6 +733,12 @@ def fit_task(
     Mid-task resume: pass ``start_epoch`` (a completed epoch count) and the
     ``initial_opt_state`` saved with it — epochs before start_epoch are
     skipped and the restored adam step count keeps the LR schedule exact.
+
+    ``precompile`` compiles LATER stages' whole-stage programs in
+    background threads while the current stage trains (train/precompile.py)
+    — chains on tunneled chips are compile-dominated (PERF.md). Resident
+    (non-mesh, non-stream, non-reaugment) path only; a background failure
+    falls back to the ordinary inline compile.
 
     Returns (params, metrics dict with (epochs,) arrays, reference-style
     keys ``{task}_{name}``)."""
@@ -765,33 +785,24 @@ def fit_task(
         if restored is not None:
             state = state._replace(opt_state=restored)
 
-    all_metrics: list[dict] = []
-    epoch_offset = 0
-    for res, n_epochs in task_cfg.resolution_stages():
-        if epoch_offset + n_epochs <= start_epoch:  # stage fully done
-            epoch_offset += n_epochs
-            continue
-        skip = max(0, start_epoch - epoch_offset)
-        epoch_offset += skip
-        n_epochs -= skip
+    def _make_step(res: tuple[int, int]):
         width = res[1]
         directions = sphere.get_directions(width)
         sineweight = sphere.get_sineweight(width)
         if task_cfg.apply_mask and mask_path:
             sineweight = sineweight * sphere.get_mask(width, mask_path)
-
         if step_builder is not None:
-            step_fn = step_builder(model, optimizer, directions, sineweight, res)
-        elif task_cfg.task == "FIT_DECODER":
-            step_fn = make_fit_decoder_step(
+            return step_builder(model, optimizer, directions, sineweight, res)
+        if task_cfg.task == "FIT_DECODER":
+            return make_fit_decoder_step(
                 model,
                 optimizer,
                 directions,
                 sineweight,
                 kld_weighting=task_cfg.kld_weighting,
             )
-        elif task_cfg.task == "FIT_LATENT":
-            step_fn = make_fit_latent_step(
+        if task_cfg.task == "FIT_LATENT":
+            return make_fit_latent_step(
                 model,
                 optimizer,
                 directions,
@@ -799,11 +810,42 @@ def fit_task(
                 alpha=task_cfg.prior_loss_weight,
                 beta=task_cfg.cosine_similarity_weight,
             )
-        else:
-            raise ValueError(
-                f"task {task_cfg.task}: provide step_builder (FIT_INVERSE is "
-                "built by reni_tpu.render.inverse)"
-            )
+        raise ValueError(
+            f"task {task_cfg.task}: provide step_builder (FIT_INVERSE is "
+            "built by reni_tpu.render.inverse)"
+        )
+
+    # one step fn per resolution, shared between the training loop and the
+    # background precompiler — _scan_runner keys the compiled whole-stage
+    # program on the step-fn object
+    _step_fns: dict = {}
+
+    def stage_step_fn(res):
+        res = tuple(res)
+        if res not in _step_fns:
+            _step_fns[res] = _make_step(res)
+        return _step_fns[res]
+
+    # (res, epochs to run, completed epochs before the stage) after the
+    # resume skip — the precompiler needs the remaining stages up front
+    plan: list[tuple[tuple[int, int], int, int]] = []
+    off = 0
+    for res, n in task_cfg.resolution_stages():
+        skip = min(max(0, start_epoch - off), n)
+        plan.append((tuple(res), n - skip, off + skip))
+        off += n
+
+    precompiler = None
+    if precompile and stage_runner is run_stage and not reaugment:
+        from reni_tpu.train.precompile import Precompiler
+
+        precompiler = Precompiler()
+
+    all_metrics: list[dict] = []
+    for stage_i, (res, n_epochs, epoch_offset) in enumerate(plan):
+        if n_epochs <= 0:  # stage fully done before start_epoch
+            continue
+        step_fn = stage_step_fn(res)
 
         stop = False
         if reaugment:
@@ -820,13 +862,28 @@ def fit_task(
                     stop = bool(callback(state, epoch_offset + done, metrics, res))
                     if stop:
                         break
-            epoch_offset += n_epochs
             if on_stage_end is not None:
                 on_stage_end(state, res)
             if stop:
                 break
             continue
         images = images_at(res)
+        if precompiler is not None:
+            from reni_tpu.train.precompile import launch_stage_precompiles
+
+            later = [(r, n) for r, n, _ in plan[stage_i + 1 :] if n > 0]
+            if later:
+                launch_stage_precompiles(
+                    precompiler,
+                    state=state,
+                    dataset_size=images.shape[0],
+                    img_dtype=images.dtype,
+                    stages=later,
+                    step_fn_of=stage_step_fn,
+                    batch_size=batch_size,
+                    callback_every=callback_every if callback is not None else None,
+                )
+            precompiler = None
         if callback is None or not callback_every:
             state, metrics = stage_runner(
                 step_fn, state, images, n_epochs, batch_size
@@ -845,7 +902,6 @@ def fit_task(
                 stop = bool(callback(state, epoch_offset + done, metrics, res))
                 if stop:
                     break
-        epoch_offset += n_epochs
         if on_stage_end is not None:
             on_stage_end(state, res)
         if stop:

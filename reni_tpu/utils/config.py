@@ -215,6 +215,13 @@ _DEFAULTS = {
         # instead of 1. Rounded down to the largest divisor of the
         # per-epoch batch count (keeps chunks epoch-aligned).
         "STREAM_CHUNK": 1,
+        # compile LATER curriculum stages' whole-stage programs in
+        # background threads while the current stage trains
+        # (train/precompile.py) — published chains on tunneled chips are
+        # compile-dominated (PERF.md). Resident single-program path only
+        # (ignored with a mesh / STREAM_DATA / REAUGMENT_PER_EPOCH); any
+        # background-compile failure falls back to the inline compile.
+        "PRECOMPILE": False,
         # out-of-core data path: decode batches from DISK on demand (lazy
         # dataset + background-prefetched row decodes through the native
         # EXR reader) instead of holding the decoded dataset in host RAM —
