@@ -67,7 +67,11 @@ def demo_decoder(width: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", default=None, help="trained decoder checkpoint")
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="trained decoder checkpoint; 'zoo' or 'zoo:<name>' resolves "
+        "the bundled pretrained zoo (data/Zoo)",
+    )
     ap.add_argument("--image", default=None, help="target env map (.exr/.hdr/.png)")
     ap.add_argument("--mask", default=None, help="binary mask PNG (1=observed)")
     ap.add_argument("--width", type=int, default=32)
@@ -75,6 +79,17 @@ def main():
     args = ap.parse_args()
 
     width = args.width
+    if args.checkpoint and args.checkpoint.split(":", 1)[0] == "zoo":
+        from reni_tpu.utils import assets
+
+        _, _, name = args.checkpoint.partition(":")
+        if not name:
+            names = sorted(assets.zoo_models())
+            if not names:
+                raise FileNotFoundError("no bundled zoo in this checkout")
+            name = names[0]
+        args.checkpoint = assets.zoo_checkpoint(name)
+        print(f"using bundled zoo model {name}: {args.checkpoint}")
     # --- 1. a trained, frozen decoder ------------------------------------
     if args.checkpoint:
         cfg = ckpt.load_model_config(args.checkpoint, fixed_decoder=True)

@@ -38,14 +38,69 @@ def download_data(config) -> None:
     )
 
 
+def bundled_zoo_dir() -> str | None:
+    """Path of the committed model zoo (``data/Zoo``), or None.
+
+    The reference downloads its pretrained zoo from Google Drive
+    (utils.py:93-103); this build COMMITS a small zero-egress zoo instead:
+    the published flagship recipe trained on the in-repo synthetic SG-sky
+    dataset (configs/zoo_synthetic.yaml). Resolved relative to the repo
+    checkout; absent in a bare wheel install."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    zoo = os.path.join(root, "data", "Zoo")
+    return zoo if os.path.isdir(zoo) else None
+
+
+def zoo_models() -> dict:
+    """name -> directory of every bundled pretrained model. Each directory
+    holds ``checkpoint.npz`` (decoder + fitted latents, loadable with
+    train.checkpoint.load_checkpoint / the notebook recipe),
+    ``decoder.jaxexport`` (cpu+tpu serving artifact for cli.serve), and
+    ``config.yaml`` (the exact training recipe)."""
+    zoo = bundled_zoo_dir()
+    if zoo is None:
+        return {}
+    return {
+        name: os.path.join(zoo, name)
+        for name in sorted(os.listdir(zoo))
+        if os.path.isfile(os.path.join(zoo, name, "checkpoint.npz"))
+    }
+
+
+def zoo_checkpoint(name: str) -> str:
+    """Checkpoint path of a bundled model; raises with the available names."""
+    models = zoo_models()
+    if name not in models:
+        raise FileNotFoundError(
+            f"no bundled model {name!r}; available: {sorted(models)} "
+            "(data/Zoo in the repo checkout)"
+        )
+    return os.path.join(models[name], "checkpoint.npz")
+
+
 def download_pretrained_models(output_path: str) -> None:
-    """API-parity hook for utils.py:93-103; local-only."""
+    """API-parity hook for utils.py:93-103; local-only.
+
+    The reference gdown-fetches its zoo here; this provisions the bundled
+    in-repo zoo into ``output_path`` (copy), or raises with instructions
+    when neither exists."""
     if os.path.isdir(output_path) and os.listdir(output_path):
         return
+    models = zoo_models()
+    if models:
+        import shutil
+
+        os.makedirs(output_path, exist_ok=True)
+        for name, src in models.items():
+            shutil.copytree(src, os.path.join(output_path, name), dirs_exist_ok=True)
+        return
     raise FileNotFoundError(
-        f"no pretrained models at {output_path!r}. Convert reference "
-        "checkpoints with reni_tpu.utils.convert.load_reference_checkpoint, "
-        "or train with reni_tpu.cli.run."
+        f"no pretrained models at {output_path!r} and no bundled zoo found. "
+        "Convert reference checkpoints with "
+        "reni_tpu.utils.convert.load_reference_checkpoint, or train with "
+        "reni_tpu.cli.run."
     )
 
 
