@@ -25,6 +25,7 @@ metrics stream to JSONL + TensorBoard.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 
@@ -185,8 +186,6 @@ def run_task(
     if mesh is not None and mesh.shape.get("model", 1) > 1 and model_cfg.use_pallas:
         # tensor parallelism shards the trunk weights GSPMD cannot push
         # through an opaque pallas_call — TP training takes the XLA path
-        import dataclasses
-
         model_cfg = dataclasses.replace(model_cfg, use_pallas=False)
     model = RENIModel(model_cfg)
     key = jax.random.PRNGKey(int(config.TRAINER.SEED))
@@ -206,6 +205,18 @@ def run_task(
         params = model.init(k_init, len(dataset))
 
     task_cfg = tasks.TaskConfig.from_config(config, task)
+
+    # learning-rate logging (reference run.py:86 LearningRateMonitor): the
+    # schedule is a pure function of the epoch — decay is per-epoch
+    # (staircase over steps_per_epoch), so evaluating a steps_per_epoch=1
+    # copy at `epoch` yields exactly the LR the optimizer used that epoch
+    from reni_tpu.train.optim import build_schedule
+
+    lr_schedule = build_schedule(
+        dataclasses.replace(
+            task_cfg.optim, epochs=task_cfg.epochs, steps_per_epoch=1
+        )
+    )
 
     if primary and bool(config.TRAINER.LOGGER.TB.get("LOG_GRAPH", False)):
         _dump_model_graph(model, params, logger.log_dir, task)
@@ -275,6 +286,7 @@ def run_task(
             f"{task.lower()}_{k}": float(np.asarray(v)[-1])
             for k, v in metrics_chunk.items()
         }
+        logged[f"{task.lower()}_lr"] = float(lr_schedule(epoch))
         logger.log_scalars(epoch, logged)
         if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
             tracker.maybe_save(
@@ -316,13 +328,12 @@ def run_task(
             # and resumable checkpoints flow like the other tasks
             loss = float(np.asarray(metrics_chunk["loss"])[-1])
             _note_progress(f"{task} epoch {epoch}")
-            logger.log_scalars(
-                epoch,
-                {
-                    f"{task.lower()}_{k}": float(np.asarray(v)[-1])
-                    for k, v in metrics_chunk.items()
-                },
-            )
+            logged = {
+                f"{task.lower()}_{k}": float(np.asarray(v)[-1])
+                for k, v in metrics_chunk.items()
+            }
+            logged[f"{task.lower()}_lr"] = float(lr_schedule(epoch))
+            logger.log_scalars(epoch, logged)
             if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
                 tracker.maybe_save(
                     state_now.params, epoch, loss,

@@ -74,6 +74,17 @@ def test_full_multi_task_chain(tmp_path, tiny_dataset):
 
     # artifacts: jsonl, checkpoints, example images
     assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+    # learning-rate curve logged per task (reference run.py:86
+    # LearningRateMonitor): present, decaying, inside [LR_END, LR_START]
+    import json
+
+    with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    for task_key in ("fit_decoder_lr", "fit_latent_lr"):
+        lrs = [r[task_key] for r in rows if task_key in r]
+        assert lrs, f"{task_key} never logged"
+        assert all(a > b for a, b in zip(lrs, lrs[1:])), lrs
+        assert all(1e-4 * 0.999 <= v <= 1e-3 * 1.001 for v in lrs)
     cks = os.listdir(os.path.join(log_dir, "checkpoints"))
     assert any(c.startswith("fit_decoder") for c in cks)
     assert any(c.startswith("fit_latent_final") for c in cks)
