@@ -84,10 +84,11 @@ def main():
 
         _, _, name = args.checkpoint.partition(":")
         if not name:
-            names = sorted(assets.zoo_models())
-            if not names:
+            # bare "zoo" resolves to the best measured prior (highest
+            # test-PSNR eval card), not the alphabetical first
+            name = assets.zoo_default()
+            if name is None:
                 raise FileNotFoundError("no bundled zoo in this checkout")
-            name = names[0]
         args.checkpoint = assets.zoo_checkpoint(name)
         print(f"using bundled zoo model {name}: {args.checkpoint}")
     # --- 1. a trained, frozen decoder ------------------------------------

@@ -62,6 +62,16 @@ def make_sky(rng: np.random.Generator, width: int = 128) -> np.ndarray:
     return np.maximum(img, 1e-6).astype(np.float32)
 
 
+def tonemap_ldr(img: np.ndarray) -> np.ndarray:
+    """HDR sky -> 8-bit LDR frame: exposure to the 98th-percentile radiance
+    (an auto-exposed camera clipping the sun), then the sRGB OETF — the same
+    display protocol as ``core.sphere.srgb`` (reference utils.py:30-42)."""
+    x = img / max(float(np.quantile(img, 0.98)), 1e-12)
+    x = np.clip(x, 0.0, 1.0)
+    x = np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1.0 / 2.4) - 0.055)
+    return np.round(x * 255.0).astype(np.uint8)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -69,6 +79,9 @@ def main(argv=None):
     ap.add_argument("--test", type=int, default=21)
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ldr", action="store_true",
+                    help="write tonemapped 8-bit PNGs (RENI_LDR datasets) "
+                    "instead of HDR EXRs; same --seed => the same skies")
     args = ap.parse_args(argv)
 
     from reni_tpu.data import exr
@@ -78,8 +91,17 @@ def main(argv=None):
         d = os.path.join(args.out, split)
         os.makedirs(d, exist_ok=True)
         for i in range(n):
-            exr.write(os.path.join(d, f"sky_{i:04d}.exr"), make_sky(rng, args.width))
-        print(f"{split}: {n} EXRs at {args.width // 2}x{args.width} -> {d}")
+            sky = make_sky(rng, args.width)
+            if args.ldr:
+                from PIL import Image
+
+                Image.fromarray(tonemap_ldr(sky)).save(
+                    os.path.join(d, f"sky_{i:04d}.png")
+                )
+            else:
+                exr.write(os.path.join(d, f"sky_{i:04d}.exr"), sky)
+        kind = "PNGs" if args.ldr else "EXRs"
+        print(f"{split}: {n} {kind} at {args.width // 2}x{args.width} -> {d}")
 
 
 if __name__ == "__main__":

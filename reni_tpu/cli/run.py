@@ -348,6 +348,8 @@ def run_task(
             task_cfg.object_path,
             render_resolution=task_cfg.render_resolution,
             kd=task_cfg.kd_value,
+            azimuths=task_cfg.azimuths,
+            elevations=task_cfg.elevations,
         )
         params, metrics = fit_inverse(
             model,

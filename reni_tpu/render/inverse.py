@@ -24,7 +24,18 @@ from reni_tpu.train import tasks
 
 
 class InverseRenderSetup:
-    """Static scene for the inverse task; builds per-resolution pieces."""
+    """Static scene for the inverse task; builds per-resolution pieces.
+
+    ``azimuths``/``elevations`` add extra static camera views: the GT and
+    predicted renders of all views are CONCATENATED along the image-height
+    axis, so every loss (including the reference's cosine-over-pixel-axis
+    quirk) applies unchanged — one view at azim=elev=0 is bit-identical to
+    the reference's single look_at_view_transform(dist, 0, 0) camera
+    (pytorch3d_envmap_shader.py:195-217). Multiple views widen the band of
+    visible surface normals, conditioning the inverse problem: narrow-normal
+    geometry (the bundled teapot seen side-on) leaves most of the
+    environment in the shading operator's null space under a single view
+    (PERF.md, FIT_INVERSE with the bundled teapot)."""
 
     def __init__(
         self,
@@ -37,6 +48,8 @@ class InverseRenderSetup:
         shininess: float = 500.0,
         backend: str = "auto",
         light_chunk: int | None = None,
+        azimuths: tuple[float, ...] = (0.0,),
+        elevations: tuple[float, ...] | None = None,
     ):
         if isinstance(obj_path_or_mesh, mesh_lib.Mesh):
             m = obj_path_or_mesh
@@ -47,29 +60,50 @@ class InverseRenderSetup:
         self.mesh = m
         self.render_resolution = render_resolution
         self.kd = kd
+        azimuths = tuple(azimuths)
+        if elevations is None:
+            elevations = (0.0,) * len(azimuths)
+        elevations = tuple(elevations)
+        if len(elevations) == 1 and len(azimuths) > 1:
+            elevations = elevations * len(azimuths)
+        if len(elevations) != len(azimuths):
+            raise ValueError(
+                f"AZIMUTHS ({len(azimuths)}) and ELEVATIONS "
+                f"({len(elevations)}) must pair up"
+            )
+        self.azimuths, self.elevations = azimuths, elevations
 
-        fragments, eye = rasterize_world(
-            m, render_resolution, dist=camera_distance, backend=backend
-        )
-        self.fragments = fragments
         vn = mesh_lib.vertex_normals(m)
-        self._render = shading.make_render_fn(
-            fragments,
-            m.face_verts,
-            vn[m.faces],
-            eye,
-            kd=kd,
-            shininess=shininess,
-            chunk=light_chunk,
-        )
+        self._renders = []
+        self.fragments = None
+        for azim, elev in zip(azimuths, elevations):
+            fragments, eye = rasterize_world(
+                m, render_resolution, dist=camera_distance,
+                elev=elev, azim=azim, backend=backend,
+            )
+            if self.fragments is None:
+                self.fragments = fragments  # first view (back-compat)
+            self._renders.append(
+                shading.make_render_fn(
+                    fragments,
+                    m.face_verts,
+                    vn[m.faces],
+                    eye,
+                    kd=kd,
+                    shininess=shininess,
+                    chunk=light_chunk,
+                )
+            )
 
     def render_fn(self, width: int) -> Callable:
         """render(envmaps (B, P, 3) unnormalised, sineweight (B, P, 3)) ->
-        (B, H, W, 3) for env maps of equirect width ``width``."""
+        (B, V*H, W, 3) for env maps of equirect width ``width`` — the V
+        static views stacked along the height axis (V=1: plain (B, H, W, 3))."""
         light_dirs = sphere.get_directions(width)[0]
 
         def render(envmaps, sineweight):
-            return self._render(envmaps, sineweight, light_dirs)
+            views = [r(envmaps, sineweight, light_dirs) for r in self._renders]
+            return views[0] if len(views) == 1 else jnp.concatenate(views, axis=1)
 
         return render
 
@@ -106,6 +140,8 @@ def fit_inverse(
             task_cfg.object_path,
             render_resolution=task_cfg.render_resolution,
             kd=task_cfg.kd_value,
+            azimuths=task_cfg.azimuths,
+            elevations=task_cfg.elevations,
         )
 
     gt_cache: dict[tuple[int, int], jnp.ndarray] = {}

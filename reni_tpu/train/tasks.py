@@ -68,6 +68,8 @@ class TaskConfig:
     render_resolution: int = 128
     object_path: str | None = None
     kd_value: float = 0.5
+    azimuths: tuple[float, ...] = (0.0,)
+    elevations: tuple[float, ...] = (0.0,)
 
     @classmethod
     def from_config(cls, config, task: str) -> "TaskConfig":
@@ -108,6 +110,8 @@ class TaskConfig:
             kwargs["render_resolution"] = int(t.RENDER_RESOLUTION)
             kwargs["object_path"] = t.OBJECT_PATH
             kwargs["kd_value"] = float(t.KD_VALUE)
+            kwargs["azimuths"] = tuple(float(a) for a in t.AZIMUTHS)
+            kwargs["elevations"] = tuple(float(e) for e in t.ELEVATIONS)
         return cls(**kwargs)
 
     def effective_curriculum(self) -> tuple[int, ...]:

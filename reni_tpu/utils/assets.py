@@ -69,6 +69,29 @@ def zoo_models() -> dict:
     }
 
 
+def zoo_default() -> str | None:
+    """Name of the best bundled prior: the entry whose ``eval.json``
+    (the cli.evaluate report make_zoo measures at packaging time) has the
+    highest test PSNR. Entries without an eval card rank last; ties and the
+    no-eval fallback resolve alphabetically. None when the zoo is absent."""
+    import json
+
+    models = zoo_models()
+    if not models:
+        return None
+
+    def psnr(item):
+        name, d = item
+        card = os.path.join(d, "eval.json")
+        try:
+            with open(card) as f:
+                return float(json.load(f).get("psnr_mean", float("-inf")))
+        except (OSError, ValueError):
+            return float("-inf")
+
+    return max(sorted(models.items()), key=psnr)[0]
+
+
 def zoo_checkpoint(name: str) -> str:
     """Checkpoint path of a bundled model; raises with the available names."""
     models = zoo_models()

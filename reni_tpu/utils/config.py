@@ -127,6 +127,14 @@ _DEFAULTS = {
             "RENDER_RESOLUTION": 64,
             "OBJECT_PATH": "data/3D_Models/teapot.obj",
             "KD_VALUE": 1.0,
+            # TPU-build extension: static camera views (paired degree
+            # lists). The reference renders one look_at(dist, 0, 0) view
+            # (pytorch3d_envmap_shader.py:195-217) = [[0.0], [0.0]] here;
+            # the default adds two more views so narrow-normal geometry
+            # (the bundled teapot) constrains the whole environment
+            # (PERF.md "FIT_INVERSE with the bundled teapot")
+            "AZIMUTHS": [0.0, 120.0, 240.0],
+            "ELEVATIONS": [0.0, 30.0, -30.0],
         },
     },
     "DATASET": {
