@@ -1,13 +1,17 @@
-"""Measure resident vs streaming (chunk=1, K) trainer throughput at the
-published flagship workload on the attached chip.
+"""Measure resident vs streaming (chunk=1, K) vs out-of-core trainer
+throughput at the published flagship workload on the attached chip.
 
 Usage: python benchmarks/streaming_residency.py [--small] [--epochs N]
+       [--skip_disk]
 (writes /tmp/stream_bench.json; --small = tiny CPU logic check)
 
 Flagship: VAD, Cond-by-Concat, SO2, N=49, 5x256, fused Pallas trunk +
 fast sine (the shipped default), batch 100 at 64x128 (P=8192).
 Dataset: synthetic 4000 maps -> nb=40 batches/epoch (the scale where
 STREAM_DATA is the point: ~0.4 GB of images, 42x-safe rank-3 layouts).
+The disk tier writes the SAME arrays as float/ZIP EXRs and streams them
+through data.datasets.DiskRowSource (native decode + depth-2 prefetch),
+so every tier sees identical batches and must report identical losses.
 """
 import argparse
 import json
@@ -25,6 +29,8 @@ from reni_tpu.train.optim import OptimConfig, build_optimizer
 p = argparse.ArgumentParser()
 p.add_argument("--small", action="store_true", help="tiny shapes (CPU logic check)")
 p.add_argument("--epochs", type=int, default=3)
+p.add_argument("--skip_disk", action="store_true",
+               help="skip the STREAM_FROM_DISK tier (no EXR staging dir)")
 args = p.parse_args()
 
 if args.small:
@@ -96,6 +102,40 @@ timed("stream_chunk1", lambda st, e: run1(step_fn, st, images, e, B))
 for K in (8, nb):
     runk = tasks.streaming_stage_runner(chunk=K)
     timed(f"stream_chunk{K}", lambda st, e: runk(step_fn, st, images, e, B))
+
+if not args.skip_disk:
+    # --- out-of-core tier: rows decode from disk on demand ------------------
+    import os
+    import tempfile
+
+    from reni_tpu.data import exr as exr_io
+    from reni_tpu.data.datasets import get_dataset
+
+    H = width // 2
+    ddir = os.environ.get("STREAM_BENCH_DIR") or tempfile.mkdtemp(
+        prefix="stream_bench_"
+    )
+    os.makedirs(ddir, exist_ok=True)
+    if len([f for f in os.listdir(ddir) if f.endswith(".exr")]) != S:
+        print(f"staging {S} float/ZIP EXRs into {ddir} ...", flush=True)
+        for i in range(S):
+            exr_io.write(
+                os.path.join(ddir, f"img_{i:05d}.exr"),
+                images[i].reshape(H, width, 3),
+                pixel_type="float",  # exact roundtrip: losses match exactly
+            )
+    ds = get_dataset("RENI_HDR", ddir, [], True, lazy=True)
+    src = ds.row_source_at((H, width))
+    assert src.shape == (S, P, 3), src.shape
+    rund = tasks.streaming_stage_runner()
+    timed("stream_from_disk", lambda st, e: rund(step_fn, st, src, e, B))
+    rundk = tasks.streaming_stage_runner(chunk=8)
+    timed("stream_from_disk_chunk8", lambda st, e: rundk(step_fn, st, src, e, B))
+
+losses = {k: v["final_loss"] for k, v in results.items() if isinstance(v, dict) and "final_loss" in v}
+assert len(set(np.float32(v) for v in losses.values())) <= 1, (
+    f"tiers diverged: {losses}"  # identical batches => identical losses
+)
 
 with open("/tmp/stream_bench.json", "w") as f:
     json.dump(results, f, indent=1)
