@@ -89,6 +89,28 @@ def main(argv=None):
                 unnormalise=dataset.unnormalise, is_hdr=dcfg.IS_HDR,
             )
         )
+    if meta.get("task") == "FIT_INVERSE":
+        # recovery quality through the renderer (the task's own observable):
+        # rebuild the scene from the config's FIT_INVERSE block
+        from reni_tpu.render.inverse import InverseRenderSetup
+        from reni_tpu.train.tasks import TaskConfig
+
+        tc = TaskConfig.from_config(cfg, "FIT_INVERSE")
+        setup = InverseRenderSetup(
+            tc.object_path,
+            render_resolution=tc.render_resolution,
+            kd=tc.kd_value,
+            azimuths=tc.azimuths,
+            elevations=tc.elevations,
+        )
+        inv = ev.inverse_recovery_eval(
+            model, params, images, res, setup,
+            unnormalise=dataset.unnormalise,
+        )
+        inv["render_correlation_per_image"] = [
+            float(x) for x in inv["render_correlation_per_image"]
+        ]
+        report.update(inv)
     print(json.dumps(report, indent=2))
     return report
 

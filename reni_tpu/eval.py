@@ -191,3 +191,62 @@ def inpainting_eval(
         "observed_psnr": masked_psnr(m),
         "hallucinated_psnr": masked_psnr(1.0 - m),
     }
+
+
+def inverse_recovery_eval(
+    model: RENIModel,
+    params,
+    images: jnp.ndarray,
+    res: tuple[int, int],
+    setup,
+    *,
+    unnormalise=None,
+    batch: int = 4,
+) -> dict:
+    """FIT_INVERSE recovery quality: how well the fitted latents explain the
+    scene through the renderer, and how much of the true environment they
+    pin down.
+
+    - ``render_correlation``: Pearson correlation between the recovered and
+      ground-truth renders, per map (the observable the task optimises —
+      the PERF.md teapot/torus figure of merit).
+    - ``envmap_rel_error``: mean relative radiance error of the recovered
+      environment maps against the true maps (includes the renderer's null
+      space, so it lower-bounds what any single-scene inverse can achieve).
+
+    ``setup``: a render.inverse.InverseRenderSetup (multi-view renders are
+    compared view-stacked, exactly as the loss sees them)."""
+    S = images.shape[0]
+    directions = sphere.get_directions(res[1])
+    sw = sphere.get_sineweight(res[1])
+    render = setup.render_fn(res[1])
+
+    gt = np.asarray(setup.generate_gt_renders(images, unnormalise, res[1]))
+    corrs, rels = [], []
+    for i in range(0, S, batch):
+        idx = jnp.arange(i, min(i + batch, S))
+        out = model.apply_idx(params, idx, directions)
+        env = unnormalise(out) if unnormalise is not None else out
+        pred = np.asarray(render(env, jnp.broadcast_to(sw, env.shape)))
+        g = gt[i : i + batch]
+        for j in range(pred.shape[0]):
+            p, t = pred[j].ravel(), g[j].ravel()
+            p = p - p.mean()
+            t = t - t.mean()
+            denom = np.sqrt((p * p).sum() * (t * t).sum())
+            corrs.append(float((p * t).sum() / max(denom, 1e-12)))
+        true_env = np.asarray(
+            unnormalise(images[i : i + batch])
+            if unnormalise is not None
+            else images[i : i + batch]
+        )
+        env = np.asarray(env)
+        rels.append(np.abs(env - true_env) / (np.abs(true_env) + 1e-6))
+    corrs = np.asarray(corrs)
+    rel = float(np.concatenate([r.ravel() for r in rels]).mean())
+    return {
+        "render_correlation_per_image": corrs,
+        "render_correlation_mean": float(corrs.mean()),
+        "render_correlation_min": float(corrs.min()),
+        "envmap_rel_error": rel,
+    }

@@ -143,6 +143,27 @@ def test_fit_inverse_via_cli(tmp_path, tiny_dataset):
         lines = f.read()
     assert "fit_inverse_loss" in lines
 
+    # the evaluate CLI reports recovery quality for inverse checkpoints
+    import yaml
+
+    from reni_tpu.cli import evaluate
+
+    cfg_yaml = str(tmp_path / "inv_eval.yaml")
+    with open(cfg_yaml, "w") as f:
+        yaml.safe_dump(cfg.to_dict(), f)
+    report = evaluate.main(
+        [
+            "--checkpoint",
+            os.path.join(log_dir, "checkpoints", "fit_inverse_final"),
+            "--cfg_path", cfg_yaml,
+            "--resolution", "8", "16",
+        ]
+    )
+    assert -1.0 <= report["render_correlation_min"] <= 1.0
+    assert report["render_correlation_mean"] >= report["render_correlation_min"]
+    assert len(report["render_correlation_per_image"]) == 3
+    assert report["envmap_rel_error"] >= 0.0
+
 
 def test_evaluate_cli(tmp_path, tiny_dataset):
     """The evaluate CLI produces a full JSON report from a trained chain."""
