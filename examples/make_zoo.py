@@ -136,7 +136,23 @@ def train_entry(cfg_path: str, cfg, max_restarts: int = 6) -> None:
     resume plan recomputed from the newest checkpoint — the same policy as
     cli.run._auto_resume_plan, applied across process restarts)."""
     env = dict(os.environ, RENI_TPU_HANG_EXIT_S="1800")
-    resume = None
+    from reni_tpu.cli.run import _auto_resume_plan
+
+    # resume-aware from the FIRST attempt: if a previous (crashed) build
+    # left checkpoints in this entry's work dir, continue from them rather
+    # than retraining the chain from scratch
+    # (SAVE_DIR is absolute in zoo configs, so log_dir="" resolves it)
+    tasks_list, resume, load_path = _auto_resume_plan(cfg, "")
+    if not tasks_list:
+        return  # every task already completed in a previous run
+    if tasks_list != list(cfg.RENI.TASKS) or resume or load_path:
+        cfg = cfg.clone()
+        cfg.RENI.TASKS = tasks_list
+        if load_path:
+            cfg.TRAINER.CHKPTS.LOAD_PATH = load_path
+        write_config(cfg_path, cfg)
+        print(f"[make_zoo] resuming previous build: tasks={tasks_list} "
+              f"resume={resume}", flush=True)
     for attempt in range(max_restarts + 1):
         cmd = [sys.executable, "-m", "reni_tpu.cli.run",
                "--cfg_path", cfg_path, "--retries", "6"]
@@ -145,9 +161,6 @@ def train_entry(cfg_path: str, cfg, max_restarts: int = 6) -> None:
         rc = subprocess.run(cmd, cwd=ROOT, env=env).returncode
         if rc == 0:
             return
-        from reni_tpu.cli.run import _auto_resume_plan
-
-        # SAVE_DIR is absolute in zoo configs, so log_dir="" resolves it
         tasks_list, resume, load_path = _auto_resume_plan(cfg, "")
         if not tasks_list:
             return  # every task already completed; the failure was post-train
