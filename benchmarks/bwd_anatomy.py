@@ -14,6 +14,18 @@ to attribute the backward's time (VERDICT r3 #3):
 - ``bwd_no_dw``      only dX / per-image grads (no weight grads at all)
 - ``bwd_mxu_only``   no sincos AND no dW: the pure matmul skeleton
 
+Forward variants probe the OTHER side of the roofline — whether the
+forward's strict matmul->sine->matmul dependency chain serialises the MXU
+behind the VPU (the backward's independent dW dots can hide its
+transcendentals; the forward has no independent work to overlap):
+
+- ``fwd``             the shipped kernel
+- ``fwd_no_sine``     sine replaced by a linear dummy: the pure MXU chain
+- ``fwd_interleave2`` tile processed as 2 independent half-tiles,
+                      layer-by-layer — gives the scheduler a matmul to run
+                      under every sine
+- ``fwd_interleave4`` same with 4 quarter-tiles
+
 All variants are numerically WRONG except ``bwd`` — they exist to move
 one term at a time. Dependent-chain timing (profiling.benchmark_fn).
 """
@@ -98,6 +110,56 @@ def _bwd_kernel_variant(
     dz0 = dh * (omega0 * cs[0])
     da_ref[0] += sp._dot(d, dz0, ((0,), (0,)), trunk_dtype)
     db0_ref[0] += jnp.sum(dz0, axis=0)
+
+
+def _fwd_kernel_variant(
+    d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, out_ref,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sine,
+    transcendental=True, interleave=1,
+):
+    sn = sine if transcendental else (lambda z: z * 0.8)
+    d = d_ref[0]
+    step = d.shape[0] // interleave
+    parts = [d[j * step : (j + 1) * step] for j in range(interleave)]
+    # independent per-part chains: the scheduler can overlap part j's sine
+    # (VPU) with part j+1's matmul (MXU)
+    hs = [
+        sn(omega0 * (sp._matmul(p, a_ref[0], trunk_dtype) + b0_ref[0]))
+        for p in parts
+    ]
+    for i in range(n_hidden):
+        hs = [
+            sn(omega_h * (sp._matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]))
+            for h in hs
+        ]
+    outs = [sp._matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0] for h in hs]
+    out_ref[0] = jnp.concatenate(outs, axis=0) if interleave > 1 else outs[0]
+
+
+def fwd_variant_call(kw, hidden, tile, batch, npix, interpret=False, **variant):
+    def call(d_pad, a, b0, ws, bs, wf, bf):
+        tm = min(tile, npix)
+        grid = (batch, npix // tm)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_variant, **kw, **variant),
+            interpret=interpret,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tm, K_PAD), lambda b, p: (0, p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, npix, C_PAD), jnp.float32),
+        )(d_pad, a, b0, ws, bs, wf, bf)
+
+    return call
 
 
 def bwd_variant_call(kernel_kw, hidden, tile, batch, npix, **variant):
@@ -192,6 +254,22 @@ def main():
 
     timed("fwd", fwd_call, (d_pad, a, b0, ws, bs, wf, bf))
     timed("bwd", bwd_call, (d_pad, a, b0, ws, bs, wf, bf, g))
+
+    from reni_tpu.core.fastmath import sine_fns
+
+    fwd_kw = dict(
+        n_hidden=L, omega0=30.0, omega_h=30.0,
+        trunk_dtype=jnp.bfloat16, sine=sine_fns(True)[0],
+    )
+    fwd_common = (fwd_kw, H, args.tile, B, npix)
+    fwd_args = (d_pad, a, b0, ws, bs, wf, bf)
+    timed("fwd_no_sine",
+          fwd_variant_call(*fwd_common, transcendental=False), fwd_args)
+    timed("fwd_interleave2",
+          fwd_variant_call(*fwd_common, interleave=2), fwd_args)
+    timed("fwd_interleave4",
+          fwd_variant_call(*fwd_common, interleave=4), fwd_args)
+
     common = (kernel_kw, H, args.tile, B, npix)
     timed("bwd_no_accum",
           bwd_variant_call(*common, accum=False), (d_pad, a, b0, ws, bs, wf, bf, g))
