@@ -139,20 +139,33 @@ def _dot(a, b, dims, trunk_dtype):
 
 def _fwd_kernel(
     d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, out_ref,
-    *, n_hidden, omega0, omega_h, trunk_dtype, sine,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sine, interleave=1,
 ):
     d = d_ref[0]  # (TM, K_PAD)
-    h = sine(omega0 * (_matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]))
+    # interleave > 1 splits the tile into independent row groups processed
+    # layer-by-layer: same math, but the scheduler gets a group's matmul
+    # (MXU) to issue under another group's sine (VPU) — the strict
+    # matmul->sine chain otherwise serialises the two units (bwd_anatomy
+    # fwd_interleave*; opt-in via RENI_TPU_INTERLEAVE pending on-chip A/B)
+    step = d.shape[0] // interleave
+    parts = [d[j * step : (j + 1) * step] for j in range(interleave)]
+    hs = [
+        sine(omega0 * (_matmul(p, a_ref[0], trunk_dtype) + b0_ref[0]))
+        for p in parts
+    ]
     for i in range(n_hidden):
-        z = _matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]
-        h = sine(omega_h * z)
-    out_ref[0] = _matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0]
+        hs = [
+            sine(omega_h * (_matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]))
+            for h in hs
+        ]
+    outs = [_matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0] for h in hs]
+    out_ref[0] = jnp.concatenate(outs, axis=0) if interleave > 1 else outs[0]
 
 
 def _bwd_kernel(
     d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, g_ref,
     da_ref, db0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref,
-    *, n_hidden, omega0, omega_h, trunk_dtype, sincos,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sincos, interleave=1,
 ):
     b = pl.program_id(0)
     pt = pl.program_id(1)
@@ -170,33 +183,45 @@ def _bwd_kernel(
         db0_ref[...] = jnp.zeros_like(db0_ref)
 
     d = d_ref[0]  # (TM, K_PAD)
-    # recompute forward; the joint sincos shares the range reduction
-    # between the activation and the sin' chain-rule factor
-    z0 = _matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]
-    h0, c0 = sincos(omega0 * z0)
-    hs = [h0]
-    cs = [c0]
-    for i in range(n_hidden):
-        z = _matmul(hs[-1], ws_ref[i], trunk_dtype) + bs_ref[i]
-        h, c = sincos(omega_h * z)
-        hs.append(h)
-        cs.append(c)
-
     g = g_ref[0]  # (TM, C_PAD)
+    # interleave > 1: independent row groups, layer-by-layer (see
+    # _fwd_kernel) — gives the scheduler MXU work under every sincos/VPU op
+    step = d.shape[0] // interleave
+    dps = [d[j * step : (j + 1) * step] for j in range(interleave)]
+    gps = [g[j * step : (j + 1) * step] for j in range(interleave)]
+
+    # recompute forward; the joint sincos shares the range reduction
+    # between the activation and the sin' chain-rule factor.
+    # hs[i][j] / cs[i][j]: layer-i activation / cos factor of row group j
+    z0s = [_matmul(p, a_ref[0], trunk_dtype) + b0_ref[0] for p in dps]
+    hc0 = [sincos(omega0 * z0) for z0 in z0s]
+    hs = [[h for h, _ in hc0]]
+    cs = [[c for _, c in hc0]]
+    for i in range(n_hidden):
+        hci = [
+            sincos(omega_h * (_matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]))
+            for h in hs[-1]
+        ]
+        hs.append([h for h, _ in hci])
+        cs.append([c for _, c in hci])
+
     # final linear
-    dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
+    for j in range(interleave):
+        dwf_ref[...] += _dot(hs[-1][j], gps[j], ((0,), (0,)), trunk_dtype)
     dbf_ref[...] += jnp.sum(g, axis=0, keepdims=True)
-    dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)  # (TM, H)
+    dhs = [_dot(gp, wf_ref[...], ((1,), (1,)), trunk_dtype) for gp in gps]
 
     for i in reversed(range(n_hidden)):
-        dz = dh * (omega_h * cs[i + 1])
-        dws_ref[i] += _dot(hs[i], dz, ((0,), (0,)), trunk_dtype)
-        dbs_ref[i] += jnp.sum(dz, axis=0)
-        dh = _dot(dz, ws_ref[i], ((1,), (1,)), trunk_dtype)
+        dzs = [dh * (omega_h * c) for dh, c in zip(dhs, cs[i + 1])]
+        for j in range(interleave):
+            dws_ref[i] += _dot(hs[i][j], dzs[j], ((0,), (0,)), trunk_dtype)
+            dbs_ref[i] += jnp.sum(dzs[j], axis=0)
+        dhs = [_dot(dz, ws_ref[i], ((1,), (1,)), trunk_dtype) for dz in dzs]
 
-    dz0 = dh * (omega0 * cs[0])
-    da_ref[0] += _dot(d, dz0, ((0,), (0,)), trunk_dtype)
-    db0_ref[0] += jnp.sum(dz0, axis=0)
+    dz0s = [dh * (omega0 * c) for dh, c in zip(dhs, cs[0])]
+    for j in range(interleave):
+        da_ref[0] += _dot(dps[j], dz0s[j], ((0,), (0,)), trunk_dtype)
+        db0_ref[0] += jnp.sum(dz0s[j], axis=0)
 
 
 def _film_fwd_kernel(
@@ -590,6 +615,7 @@ def _siren_calls(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
+    interleave: int = 1,
 ):
     """(fwd_call, bwd_call) pallas dispatchers for the fused trunk:
 
@@ -598,13 +624,15 @@ def _siren_calls(
 
     shared by the single-device custom_vjp (``make_fused_siren``) and the
     shard_map-partitioned variant (``make_fused_siren_sharded``), which
-    invokes them per data/pixel shard."""
+    invokes them per data/pixel shard. ``interleave`` splits each pixel
+    tile into that many independent row groups (identical math, reordered
+    schedule — see _fwd_kernel)."""
     from reni_tpu.core.fastmath import sincos_fns, sine_fns
 
     sine, _ = sine_fns(fast_sine)
     kw = dict(
         n_hidden=n_hidden, omega0=omega0, omega_h=omega_h,
-        trunk_dtype=trunk_dtype, sine=sine,
+        trunk_dtype=trunk_dtype, sine=sine, interleave=interleave,
     )
     kw_bwd = {k: v for k, v in kw.items() if k != "sine"}
     kw_bwd["sincos"] = sincos_fns(fast_sine)
@@ -613,6 +641,7 @@ def _siren_calls(
         batch, npix = a.shape[0], d_pad.shape[1]
         tm = min(tile, npix)
         assert npix % tm == 0, (npix, tm)
+        assert tm % interleave == 0, (tm, interleave)
         grid = (batch, npix // tm)
         d_idx = (
             (lambda b, p: (b, p, 0))
@@ -693,6 +722,7 @@ def make_fused_siren(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
+    interleave: int = 1,
 ):
     """Build the fused decoder trunk (see ``_siren_calls`` for signature).
 
@@ -701,7 +731,7 @@ def make_fused_siren(
     fwd_call, bwd_call = _siren_calls(
         n_hidden, hidden, omega0, omega_h,
         tile=tile, trunk_dtype=trunk_dtype, interpret=interpret,
-        fast_sine=fast_sine,
+        fast_sine=fast_sine, interleave=interleave,
     )
 
     @jax.custom_vjp
@@ -742,6 +772,7 @@ def make_fused_siren_sharded(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
+    interleave: int = 1,
 ):
     """The fused trunk partitioned over the mesh's data/pixel axes.
 
@@ -761,7 +792,7 @@ def make_fused_siren_sharded(
     fwd_call, bwd_call = _siren_calls(
         n_hidden, hidden, omega0, omega_h,
         tile=tile, trunk_dtype=trunk_dtype, interpret=interpret,
-        fast_sine=fast_sine,
+        fast_sine=fast_sine, interleave=interleave,
     )
     dn, px = _mesh_axes(mesh)
     d_spec = P(dn if d_batched else None, px, None)
@@ -854,24 +885,47 @@ def pack_inputs(params, equivariance: str, ndims: int, Z, d_feats):
 
 
 @functools.lru_cache(maxsize=16)
-def _get_kernel(n_hidden, hidden, omega0, omega_h, tile, trunk, interpret, fast_sine):
+def _get_kernel(
+    n_hidden, hidden, omega0, omega_h, tile, trunk, interpret, fast_sine,
+    interleave,
+):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_siren(
         n_hidden, hidden, omega0, omega_h,
         tile=tile, trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
+        interleave=interleave,
     )
 
 
 @functools.lru_cache(maxsize=16)
 def _get_kernel_sharded(
     mesh, n_hidden, hidden, omega0, omega_h, tile, trunk, interpret,
-    fast_sine, d_batched,
+    fast_sine, d_batched, interleave,
 ):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_siren_sharded(
         mesh, n_hidden, hidden, omega0, omega_h, d_batched=d_batched,
         tile=tile, trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
+        interleave=interleave,
     )
+
+
+def _env_tile(tile: int) -> int:
+    """Tile-size cap after the RENI_TPU_PALLAS_TILE override (0/unset =
+    caller's value). Exists for on-chip A/B sweeps (PERF.md bwd anatomy);
+    pick_tile still rounds to an aligned divisor of the pixel count."""
+    import os
+
+    return int(os.environ.get("RENI_TPU_PALLAS_TILE", "0")) or tile
+
+
+def _env_interleave(tm: int) -> int:
+    """RENI_TPU_INTERLEAVE row-group count, clamped to 1 when it does not
+    divide the chosen tile (unset = 1 = the shipped schedule)."""
+    import os
+
+    il = int(os.environ.get("RENI_TPU_INTERLEAVE", "1"))
+    return il if il >= 1 and tm % il == 0 else 1
 
 
 def fused_apply(
@@ -902,6 +956,7 @@ def fused_apply(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    tile = _env_tile(tile)
     d_feats = encodings.d_features(equivariance, D)  # (B_d, npix, k)
     npix = d_feats.shape[1]
     mesh, n_px, sharded = _kernel_mesh_info()
@@ -911,6 +966,7 @@ def fused_apply(
     if reason:
         raise ValueError(f"unsupported shapes for pallas path: {reason}")
     tm = pick_tile(npix // n_px, tile)
+    interleave = _env_interleave(tm)
 
     d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad = pack_inputs(
         params, equivariance, ndims, Z, d_feats
@@ -919,12 +975,12 @@ def fused_apply(
         kernel = _get_kernel_sharded(
             mesh, hidden_layers, hidden_features, first_omega_0,
             hidden_omega_0, tm, trunk, interpret, fast_sine,
-            d_feats.shape[0] > 1,
+            d_feats.shape[0] > 1, interleave,
         )
     else:
         kernel = _get_kernel(
             hidden_layers, hidden_features, first_omega_0, hidden_omega_0,
-            tm, trunk, interpret, fast_sine,
+            tm, trunk, interpret, fast_sine, interleave,
         )
     out = kernel(d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad)[..., :out_features]
     if output_activation == "exp":

@@ -315,3 +315,50 @@ def test_fused_apply_per_image_direction_grids():
         trunk="float32", interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("interleave", [2, 4])
+def test_fused_interleave_matches_jnp(interleave, monkeypatch):
+    """RENI_TPU_INTERLEAVE is a pure schedule change: each pixel tile is
+    processed as independent row groups (see _fwd_kernel) — forward and
+    gradients must match the jnp path like the interleave=1 default."""
+    monkeypatch.setenv("RENI_TPU_INTERLEAVE", str(interleave))
+    model, params, Z, D = _setup()
+    ref = np.asarray(model.apply(params, Z, D))
+    out = np.asarray(_pallas(model, params, Z, D))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss_p(dec, z):
+        return jnp.sum(
+            _pallas(model, {"decoder": dec, "latents": params["latents"]}, z, D) ** 2
+        )
+
+    def loss_r(dec, z):
+        return jnp.sum(
+            model.apply({"decoder": dec, "latents": params["latents"]}, z, D) ** 2
+        )
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(params["decoder"], Z)
+    gr = jax.grad(loss_r, argnums=(0, 1))(params["decoder"], Z)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=2e-5
+        ),
+        gp,
+        gr,
+    )
+
+
+def test_fused_interleave_env_clamped(monkeypatch):
+    """An interleave that does not divide the tile falls back to 1 (never
+    crashes); RENI_TPU_PALLAS_TILE caps the tile size."""
+    from reni_tpu.kernels.siren_pallas import _env_interleave, _env_tile
+
+    monkeypatch.setenv("RENI_TPU_INTERLEAVE", "3")
+    assert _env_interleave(256) == 1
+    monkeypatch.setenv("RENI_TPU_INTERLEAVE", "4")
+    assert _env_interleave(256) == 4
+    monkeypatch.setenv("RENI_TPU_PALLAS_TILE", "128")
+    assert _env_tile(512) == 128
+    monkeypatch.delenv("RENI_TPU_PALLAS_TILE")
+    assert _env_tile(512) == 512
