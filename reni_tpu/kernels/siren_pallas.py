@@ -226,27 +226,37 @@ def _bwd_kernel(
 
 def _film_fwd_kernel(
     d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, out_ref,
-    *, n_trunk, hidden, trunk_dtype, sine,
+    *, n_trunk, hidden, trunk_dtype, sine, interleave=1,
 ):
     d = d_ref[0]  # (TM, K_PAD)
     f = fr_ref[0, 0]  # (T*H,)
     p = ph_ref[0, 0]
-    h = None
+    # interleave > 1: independent row groups, layer-by-layer — same
+    # MXU/VPU-overlap rationale as _fwd_kernel
+    step = d.shape[0] // interleave
+    dps = [d[j * step : (j + 1) * step] for j in range(interleave)]
+    hs = [None] * interleave
     for i in range(n_trunk):
-        pre = (
-            _matmul(d, a0_ref[0], trunk_dtype)
-            if i == 0
-            else _matmul(h, ws_ref[i - 1], trunk_dtype)
-        ) + bs_ref[i]
         lo = i * hidden
-        h = sine(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
-    out_ref[0] = _matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0]
+        fi, pi = f[lo : lo + hidden], p[lo : lo + hidden]
+        pres = [
+            (
+                _matmul(dps[j], a0_ref[0], trunk_dtype)
+                if i == 0
+                else _matmul(hs[j], ws_ref[i - 1], trunk_dtype)
+            )
+            + bs_ref[i]
+            for j in range(interleave)
+        ]
+        hs = [sine(fi * pre + pi) for pre in pres]
+    outs = [_matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0] for h in hs]
+    out_ref[0] = jnp.concatenate(outs, axis=0) if interleave > 1 else outs[0]
 
 
 def _film_bwd_kernel(
     d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, g_ref,
     da0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref, dfr_ref, dph_ref,
-    *, n_trunk, hidden, trunk_dtype, sincos,
+    *, n_trunk, hidden, trunk_dtype, sincos, interleave=1,
 ):
     b = pl.program_id(0)
     pt = pl.program_id(1)
@@ -267,40 +277,61 @@ def _film_bwd_kernel(
     d = d_ref[0]
     f = fr_ref[0, 0]
     p = ph_ref[0, 0]
+    g = g_ref[0]
+    # interleave > 1: independent row groups, layer-by-layer (see
+    # _film_fwd_kernel); index [i][j] = layer i, row group j
+    step = d.shape[0] // interleave
+    dps = [d[j * step : (j + 1) * step] for j in range(interleave)]
+    gps = [g[j * step : (j + 1) * step] for j in range(interleave)]
     # recompute forward; joint sincos shares the range reduction between
     # the activation and the sin' chain-rule factor
     pres, hs, coss = [], [], []
-    h = None
     for i in range(n_trunk):
-        pre = (
-            _matmul(d, a0_ref[0], trunk_dtype)
-            if i == 0
-            else _matmul(h, ws_ref[i - 1], trunk_dtype)
-        ) + bs_ref[i]
         lo = i * hidden
-        h, c = sincos(f[lo : lo + hidden] * pre + p[lo : lo + hidden])
-        pres.append(pre)
-        hs.append(h)
-        coss.append(c)
+        fi, pi = f[lo : lo + hidden], p[lo : lo + hidden]
+        pre_i = [
+            (
+                _matmul(dps[j], a0_ref[0], trunk_dtype)
+                if i == 0
+                else _matmul(hs[-1][j], ws_ref[i - 1], trunk_dtype)
+            )
+            + bs_ref[i]
+            for j in range(interleave)
+        ]
+        hc_i = [sincos(fi * pre + pi) for pre in pre_i]
+        pres.append(pre_i)
+        hs.append([h for h, _ in hc_i])
+        coss.append([c for _, c in hc_i])
 
-    g = g_ref[0]
-    dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
+    for j in range(interleave):
+        dwf_ref[...] += _dot(hs[-1][j], gps[j], ((0,), (0,)), trunk_dtype)
     dbf_ref[...] += jnp.sum(g, axis=0, keepdims=True)
-    dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)
+    dhs = [_dot(gp, wf_ref[...], ((1,), (1,)), trunk_dtype) for gp in gps]
 
     for i in reversed(range(n_trunk)):
         lo = i * hidden
         fi = f[lo : lo + hidden]
-        dmod = dh * coss[i]  # d/d(f*pre + p)
-        dfr_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod * pres[i], axis=0)
-        dph_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod, axis=0)
-        dz = dmod * fi
-        dbs_ref[i] += jnp.sum(dz, axis=0)
+        dmods = [dh * c for dh, c in zip(dhs, coss[i])]  # d/d(f*pre + p)
+        for j in range(interleave):
+            dfr_ref[0, 0, lo : lo + hidden] += jnp.sum(
+                dmods[j] * pres[i][j], axis=0
+            )
+            dph_ref[0, 0, lo : lo + hidden] += jnp.sum(dmods[j], axis=0)
+        dzs = [dmod * fi for dmod in dmods]
+        for j in range(interleave):
+            dbs_ref[i] += jnp.sum(dzs[j], axis=0)
         if i == 0:
-            da0_ref[0] += _dot(d, dz, ((0,), (0,)), trunk_dtype)
+            for j in range(interleave):
+                da0_ref[0] += _dot(dps[j], dzs[j], ((0,), (0,)), trunk_dtype)
         else:
-            dws_ref[i - 1] += _dot(hs[i - 1], dz, ((0,), (0,)), trunk_dtype)
-            dh = _dot(dz, ws_ref[i - 1], ((1,), (1,)), trunk_dtype)
+            for j in range(interleave):
+                dws_ref[i - 1] += _dot(
+                    hs[i - 1][j], dzs[j], ((0,), (0,)), trunk_dtype
+                )
+            dhs = [
+                _dot(dz, ws_ref[i - 1], ((1,), (1,)), trunk_dtype)
+                for dz in dzs
+            ]
 
 
 def _film_calls(
@@ -311,6 +342,7 @@ def _film_calls(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
+    interleave: int = 1,
 ):
     """(fwd_call, bwd_call) pallas dispatchers for the fused FiLM trunk:
 
@@ -323,7 +355,10 @@ def _film_calls(
     from reni_tpu.core.fastmath import sincos_fns, sine_fns
 
     sine, _ = sine_fns(fast_sine)
-    kw = dict(n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype, sine=sine)
+    kw = dict(
+        n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype, sine=sine,
+        interleave=interleave,
+    )
     kw_bwd = {k: v for k, v in kw.items() if k != "sine"}
     kw_bwd["sincos"] = sincos_fns(fast_sine)
 
@@ -348,6 +383,7 @@ def _film_calls(
         batch, npix = a0.shape[0], d_pad.shape[1]
         tm = min(tile, npix)
         assert npix % tm == 0, (npix, tm)
+        assert tm % interleave == 0, (tm, interleave)
         return pl.pallas_call(
             functools.partial(_film_fwd_kernel, **kw),
             grid=(batch, npix // tm),
@@ -408,12 +444,13 @@ def make_fused_film(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
+    interleave: int = 1,
 ):
     """Fused FiLM decoder trunk (see ``_film_calls`` for the signature).
     Differentiable in everything except d_pad."""
     fwd_call, bwd_call = _film_calls(
         n_trunk, hidden, tile=tile, trunk_dtype=trunk_dtype,
-        interpret=interpret, fast_sine=fast_sine,
+        interpret=interpret, fast_sine=fast_sine, interleave=interleave,
     )
 
     @jax.custom_vjp
@@ -441,6 +478,7 @@ def make_fused_film_sharded(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
+    interleave: int = 1,
 ):
     """The fused FiLM trunk partitioned over the mesh's data/pixel axes —
     same design as ``make_fused_siren_sharded``: per-shard kernel launch
@@ -450,7 +488,7 @@ def make_fused_film_sharded(
 
     fwd_call, bwd_call = _film_calls(
         n_trunk, hidden, tile=tile, trunk_dtype=trunk_dtype,
-        interpret=interpret, fast_sine=fast_sine,
+        interpret=interpret, fast_sine=fast_sine, interleave=interleave,
     )
     dn, px = _mesh_axes(mesh)
     d_spec = P(dn if d_batched else None, px, None)
@@ -501,22 +539,26 @@ def make_fused_film_sharded(
 
 
 @functools.lru_cache(maxsize=16)
-def _get_film_kernel(n_trunk, hidden, tile, trunk, interpret, fast_sine):
+def _get_film_kernel(
+    n_trunk, hidden, tile, trunk, interpret, fast_sine, interleave
+):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_film(
         n_trunk, hidden, tile=tile, trunk_dtype=dtype, interpret=interpret,
-        fast_sine=fast_sine,
+        fast_sine=fast_sine, interleave=interleave,
     )
 
 
 @functools.lru_cache(maxsize=16)
 def _get_film_kernel_sharded(
-    mesh, n_trunk, hidden, tile, trunk, interpret, fast_sine, d_batched
+    mesh, n_trunk, hidden, tile, trunk, interpret, fast_sine, d_batched,
+    interleave,
 ):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_film_sharded(
         mesh, n_trunk, hidden, d_batched=d_batched, tile=tile,
         trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
+        interleave=interleave,
     )
 
 
@@ -546,6 +588,7 @@ def fused_film_apply(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    tile = _env_tile(tile)
     d_feats = encodings.d_features(equivariance, D)  # (B_d, npix, k)
     npix = d_feats.shape[1]
     mesh, n_px, sharded = _kernel_mesh_info()
@@ -555,6 +598,7 @@ def fused_film_apply(
     if reason:
         raise ValueError(f"unsupported shapes for pallas film path: {reason}")
     tm = pick_tile(npix // n_px, tile)
+    interleave = _env_interleave(tm)
 
     parts = encodings.z_parts(equivariance, Z)
     fr, ph = film_lib.apply_mapping_network(
@@ -591,11 +635,12 @@ def fused_film_apply(
     if sharded:
         kernel = _get_film_kernel_sharded(
             mesh, n_trunk, hidden_features, tm, trunk, interpret, fast_sine,
-            d_feats.shape[0] > 1,
+            d_feats.shape[0] > 1, interleave,
         )
     else:
         kernel = _get_film_kernel(
-            n_trunk, hidden_features, tm, trunk, interpret, fast_sine
+            n_trunk, hidden_features, tm, trunk, interpret, fast_sine,
+            interleave,
         )
     out = kernel(d_pad, a0_pad, ws, bs, wf, bf, fr, ph)[..., :out_features]
     if output_activation == "exp":

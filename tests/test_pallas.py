@@ -362,3 +362,37 @@ def test_fused_interleave_env_clamped(monkeypatch):
     assert _env_tile(512) == 128
     monkeypatch.delenv("RENI_TPU_PALLAS_TILE")
     assert _env_tile(512) == 512
+
+
+@pytest.mark.parametrize("interleave", [2, 4])
+def test_fused_film_interleave_matches_jnp(interleave, monkeypatch):
+    """RENI_TPU_INTERLEAVE applies to the FiLM trunk too (same row-group
+    schedule as the cbc kernel) — forward and gradients must match jnp."""
+    monkeypatch.setenv("RENI_TPU_INTERLEAVE", str(interleave))
+    model, params, Z, D = _setup_film()
+    ref = np.asarray(model.apply(params, Z, D))
+    out = np.asarray(_pallas_film(model, params, Z, D))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss_p(dec, z):
+        return jnp.sum(
+            _pallas_film(
+                model, {"decoder": dec, "latents": params["latents"]}, z, D
+            )
+            ** 2
+        )
+
+    def loss_r(dec, z):
+        return jnp.sum(
+            model.apply({"decoder": dec, "latents": params["latents"]}, z, D) ** 2
+        )
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(params["decoder"], Z)
+    gr = jax.grad(loss_r, argnums=(0, 1))(params["decoder"], Z)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=2e-5
+        ),
+        gp,
+        gr,
+    )
