@@ -64,8 +64,14 @@ def make_sky(rng: np.random.Generator, width: int = 128) -> np.ndarray:
 
 def tonemap_ldr(img: np.ndarray) -> np.ndarray:
     """HDR sky -> 8-bit LDR frame: exposure to the 98th-percentile radiance
-    (an auto-exposed camera clipping the sun), then the sRGB OETF — the same
-    display protocol as ``core.sphere.srgb`` (reference utils.py:30-42)."""
+    (an auto-exposed camera clipping the sun), then the sRGB OETF.
+
+    Deliberately NOT ``core.sphere.srgb``: that function preserves the
+    reference's nested per-axis-quantile display quirk (utils.py:30-42) for
+    parity of LOGGED images, whereas this is a camera model producing a
+    DATASET — a flat global quantile is the honest auto-exposure. The
+    committed LDR zoo entries were generated with this transform; changing
+    it changes the zoo recipe."""
     x = img / max(float(np.quantile(img, 0.98)), 1e-12)
     x = np.clip(x, 0.0, 1.0)
     x = np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1.0 / 2.4) - 0.055)

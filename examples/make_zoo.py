@@ -193,7 +193,13 @@ def build_entry(entry: dict, out_root: str, work: str, skip_train: bool) -> str:
                "--test", str(N_TEST), "--width", "128", "--seed", str(SEED)]
         if entry["dataset"] == "ldr":
             gen.append("--ldr")
-        if not os.path.isdir(os.path.join(data_dir, "Train")):
+        # count, don't just stat: a generation run killed midway must not
+        # leave a truncated "1000-map prior" that later builds silently use
+        train_dir = os.path.join(data_dir, "Train")
+        n_have = len(glob.glob(os.path.join(train_dir, "*.exr"))) + len(
+            glob.glob(os.path.join(train_dir, "*.png"))
+        )
+        if n_have != N_TRAIN:
             subprocess.run(gen, check=True)
         train_entry(cfg_path, cfg)
 

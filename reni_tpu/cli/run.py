@@ -208,8 +208,9 @@ def run_task(
 
     # learning-rate logging (reference run.py:86 LearningRateMonitor): the
     # schedule is a pure function of the epoch — decay is per-epoch
-    # (staircase over steps_per_epoch), so evaluating a steps_per_epoch=1
-    # copy at `epoch` yields exactly the LR the optimizer used that epoch
+    # (staircase over steps_per_epoch). optax counts from 0, and the
+    # callback's `epoch` is the 1-based completed count, so epoch e
+    # trained at schedule(e - 1)
     from reni_tpu.train.optim import build_schedule
 
     lr_schedule = build_schedule(
@@ -286,7 +287,7 @@ def run_task(
             f"{task.lower()}_{k}": float(np.asarray(v)[-1])
             for k, v in metrics_chunk.items()
         }
-        logged[f"{task.lower()}_lr"] = float(lr_schedule(epoch))
+        logged[f"{task.lower()}_lr"] = float(lr_schedule(epoch - 1))
         logger.log_scalars(epoch, logged)
         if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
             tracker.maybe_save(
@@ -332,7 +333,7 @@ def run_task(
                 f"{task.lower()}_{k}": float(np.asarray(v)[-1])
                 for k, v in metrics_chunk.items()
             }
-            logged[f"{task.lower()}_lr"] = float(lr_schedule(epoch))
+            logged[f"{task.lower()}_lr"] = float(lr_schedule(epoch - 1))
             logger.log_scalars(epoch, logged)
             if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
                 tracker.maybe_save(
@@ -614,11 +615,20 @@ def _auto_resume_plan(config, log_dir: str):
     _, meta = ckpt._meta_only(latest)
     rtask = meta.get("task")
     tasks_list = list(config.RENI.TASKS)
-    i = tasks_list.index(rtask) if rtask in tasks_list else 0
     task_epochs = int(config.RENI[rtask].EPOCHS) if rtask in config.RENI else 0
     complete = latest.endswith("_final") or (
         int(meta.get("epoch", 0)) >= task_epochs > 0
     )
+    if rtask not in tasks_list:
+        # the newest checkpoint belongs to a task outside the (possibly
+        # already-trimmed) list — e.g. make_zoo resuming ['FIT_LATENT']
+        # while the newest save is still fit_decoder_final. Nothing in the
+        # list is complete; a COMPLETE foreign checkpoint serves as the
+        # decoder source, a partial one must not be loaded at all.
+        return tasks_list, None, (
+            latest if complete else config.TRAINER.CHKPTS.LOAD_PATH
+        )
+    i = tasks_list.index(rtask)
     if complete:
         return tasks_list[i + 1 :], None, latest
     return tasks_list[i:], latest, None

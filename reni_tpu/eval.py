@@ -216,6 +216,8 @@ def inverse_recovery_eval(
 
     ``setup``: a render.inverse.InverseRenderSetup (multi-view renders are
     compared view-stacked, exactly as the loss sees them)."""
+    if unnormalise is None:
+        unnormalise = lambda x: x  # identity: images already in radiance
     S = images.shape[0]
     directions = sphere.get_directions(res[1])
     sw = sphere.get_sineweight(res[1])
@@ -226,7 +228,7 @@ def inverse_recovery_eval(
     for i in range(0, S, batch):
         idx = jnp.arange(i, min(i + batch, S))
         out = model.apply_idx(params, idx, directions)
-        env = unnormalise(out) if unnormalise is not None else out
+        env = unnormalise(out)
         pred = np.asarray(render(env, jnp.broadcast_to(sw, env.shape)))
         g = gt[i : i + batch]
         for j in range(pred.shape[0]):
@@ -235,11 +237,7 @@ def inverse_recovery_eval(
             t = t - t.mean()
             denom = np.sqrt((p * p).sum() * (t * t).sum())
             corrs.append(float((p * t).sum() / max(denom, 1e-12)))
-        true_env = np.asarray(
-            unnormalise(images[i : i + batch])
-            if unnormalise is not None
-            else images[i : i + batch]
-        )
+        true_env = np.asarray(unnormalise(images[i : i + batch]))
         env = np.asarray(env)
         rels.append(np.abs(env - true_env) / (np.abs(true_env) + 1e-6))
     corrs = np.asarray(corrs)

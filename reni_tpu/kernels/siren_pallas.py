@@ -965,12 +965,14 @@ def _env_tile(tile: int) -> int:
 
 
 def _env_interleave(tm: int) -> int:
-    """RENI_TPU_INTERLEAVE row-group count, clamped to 1 when it does not
-    divide the chosen tile (unset = 1 = the shipped schedule)."""
+    """RENI_TPU_INTERLEAVE row-group count, clamped to 1 when the row
+    groups would not be whole sublanes — each group (tm // il rows) must be
+    a multiple of the 8-row sublane or Mosaic rejects/relayouts the slices
+    (unset = 1 = the shipped schedule)."""
     import os
 
     il = int(os.environ.get("RENI_TPU_INTERLEAVE", "1"))
-    return il if il >= 1 and tm % il == 0 else 1
+    return il if il >= 1 and tm % (8 * il) == 0 else 1
 
 
 def fused_apply(

@@ -86,7 +86,8 @@ def zoo_default() -> str | None:
         try:
             with open(card) as f:
                 return float(json.load(f).get("psnr_mean", float("-inf")))
-        except (OSError, ValueError):
+        except (OSError, ValueError, TypeError):
+            # TypeError: a card with "psnr_mean": null ranks last, not crash
             return float("-inf")
 
     return max(sorted(models.items()), key=psnr)[0]

@@ -80,11 +80,18 @@ def test_full_multi_task_chain(tmp_path, tiny_dataset):
 
     with open(os.path.join(log_dir, "metrics.jsonl")) as f:
         rows = [json.loads(line) for line in f]
+    import math
+
+    gamma = math.exp(math.log(1e-4 / 1e-3) / 12)
     for task_key in ("fit_decoder_lr", "fit_latent_lr"):
-        lrs = [r[task_key] for r in rows if task_key in r]
-        assert lrs, f"{task_key} never logged"
+        pairs = [(r["step"], r[task_key]) for r in rows if task_key in r]
+        assert pairs, f"{task_key} never logged"
+        lrs = [v for _, v in pairs]
         assert all(a > b for a, b in zip(lrs, lrs[1:])), lrs
-        assert all(1e-4 * 0.999 <= v <= 1e-3 * 1.001 for v in lrs)
+        # exactly the LR the optimizer used at that (1-based) epoch:
+        # optax counts from 0, so epoch e trained at gamma^(e-1)
+        for epoch, v in pairs:
+            assert v == pytest.approx(1e-3 * gamma ** (epoch - 1), rel=1e-6)
     cks = os.listdir(os.path.join(log_dir, "checkpoints"))
     assert any(c.startswith("fit_decoder") for c in cks)
     assert any(c.startswith("fit_latent_final") for c in cks)
@@ -353,6 +360,25 @@ def test_auto_resume_plan(tmp_path):
     tasks_list, resume, load = _auto_resume_plan(cfg, log_dir)
     assert tasks_list == ["FIT_LATENT"]
     assert resume is None and load.endswith("fit_decoder_latest")
+
+    # an already-TRIMMED task list (make_zoo restart path): the newest save
+    # is a completed task OUTSIDE the list — the remaining chain must still
+    # run, with that checkpoint as decoder source (never [] = "all done")
+    trimmed = cfg.clone()
+    trimmed.RENI.TASKS = ["FIT_LATENT"]
+    tasks_list, resume, load = _auto_resume_plan(trimmed, log_dir)
+    assert tasks_list == ["FIT_LATENT"]
+    assert resume is None and load.endswith("fit_decoder_latest")
+
+    # a PARTIAL foreign checkpoint must not be loaded as decoder source
+    _time.sleep(0.01)
+    ckpt.save_checkpoint(
+        os.path.join(ckdir, "fit_decoder_latest"), params,
+        metadata={"task": "FIT_DECODER", "epoch": 6},
+    )
+    tasks_list, resume, load = _auto_resume_plan(trimmed, log_dir)
+    assert tasks_list == ["FIT_LATENT"] and resume is None
+    assert load == trimmed.TRAINER.CHKPTS.LOAD_PATH
 
 
 def test_shard_latents_cli_matches_replicated(tmp_path, tiny_dataset):

@@ -350,14 +350,18 @@ def test_fused_interleave_matches_jnp(interleave, monkeypatch):
 
 
 def test_fused_interleave_env_clamped(monkeypatch):
-    """An interleave that does not divide the tile falls back to 1 (never
-    crashes); RENI_TPU_PALLAS_TILE caps the tile size."""
+    """An interleave whose row groups would not be whole 8-row sublanes
+    falls back to 1 (never crashes); RENI_TPU_PALLAS_TILE caps the tile."""
     from reni_tpu.kernels.siren_pallas import _env_interleave, _env_tile
 
     monkeypatch.setenv("RENI_TPU_INTERLEAVE", "3")
     assert _env_interleave(256) == 1
     monkeypatch.setenv("RENI_TPU_INTERLEAVE", "4")
     assert _env_interleave(256) == 4
+    # divides the tile but the 100-row groups are not sublane-aligned
+    assert _env_interleave(400) == 1
+    monkeypatch.setenv("RENI_TPU_INTERLEAVE", "2")
+    assert _env_interleave(400) == 2  # 200-row groups: aligned
     monkeypatch.setenv("RENI_TPU_PALLAS_TILE", "128")
     assert _env_tile(512) == 128
     monkeypatch.delenv("RENI_TPU_PALLAS_TILE")
