@@ -202,6 +202,8 @@ def bwd_variant_call(kernel_kw, hidden, tile, batch, npix, **variant):
 
 
 def main():
+    from reni_tpu.utils import chiplock
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=400)
     ap.add_argument("--width", type=int, default=128)
@@ -209,6 +211,15 @@ def main():
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--layers", type=int, default=5)
     args = ap.parse_args()
+
+    # serialize against other chip jobs; yield between variants if a
+    # preemptor (bench.py) asks — this sweep is cheap to rerun
+    with chiplock.hold_chip_lock(chiplock.trainer_lock_path(), what="bwd_anatomy"):
+        _run(args, chiplock.trainer_stop_path())
+
+
+def _run(args, stop_file):
+    from reni_tpu.utils import chiplock
 
     B, H, L = args.batch, args.hidden, args.layers
     npix = args.width * args.width // 2
@@ -235,6 +246,7 @@ def main():
     results = {"batch": B, "npix": npix, "tile": args.tile}
 
     def timed(name, fn, args_):
+        chiplock.maybe_yield(stop_file, what="bwd_anatomy")
         # dependent chain: thread a scalar of each call's output back into
         # the `a` operand so the tunnel cannot dedupe/pipeline repeats
         rest = args_[2:]

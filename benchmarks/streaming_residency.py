@@ -33,6 +33,19 @@ p.add_argument("--skip_disk", action="store_true",
                help="skip the STREAM_FROM_DISK tier (no EXR staging dir)")
 args = p.parse_args()
 
+# serialize against other chip jobs; yield between tiers if a preemptor
+# (bench.py) asks — a rerun repeats at most the finished tiers
+import atexit
+
+from reni_tpu.utils import chiplock
+
+_lock_cm = chiplock.hold_chip_lock(
+    chiplock.trainer_lock_path(), what="streaming_residency"
+)
+_lock_cm.__enter__()
+atexit.register(lambda: _lock_cm.__exit__(None, None, None))
+_stop_file = chiplock.trainer_stop_path()
+
 if args.small:
     S, B, width, N, layers, hidden = 40, 4, 32, 4, 1, 32
 else:
@@ -73,6 +86,7 @@ def fresh_state():
 
 
 def timed(name, fn):
+    chiplock.maybe_yield(_stop_file, what="streaming_residency")
     # warm-up run compiles (same epoch count: the resident scan's program
     # is static in length); then one timed run (dependent chain: each epoch
     # depends on the previous state, so tunnel pipelining can't fake it)

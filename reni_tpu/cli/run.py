@@ -105,6 +105,18 @@ def _deadline_reached(deadline: float | None) -> bool:
     return multihost.agree_on_flag(time.time() > deadline)
 
 
+def _yield_requested(stop_file: str | None) -> bool:
+    """Chip-preemption check (`utils/chiplock.py`): a preemptor (bench.py)
+    asked the trainer to release the shared chip. COLLECTIVE like
+    `_deadline_reached` — every host must agree to yield at the same
+    segment, or the rest block in the training psums."""
+    if stop_file is None:
+        return False
+    from reni_tpu.parallel import multihost
+
+    return multihost.agree_on_flag(os.path.exists(stop_file))
+
+
 class _BestTracker:
     """save_top_k=2 checkpointing by monitored loss (run.py:79-84), plus a
     ``{task}_latest`` checkpoint overwritten every periodic save — the
@@ -222,6 +234,13 @@ def run_task(
     if primary and bool(config.TRAINER.LOGGER.TB.get("LOG_GRAPH", False)):
         _dump_model_graph(model, params, logger.log_dir, task)
 
+    # chip preemption: honored at segment boundaries via the callbacks
+    # below (force-checkpoint, then exit 115 so a supervisor loop resumes
+    # once the preemptor releases the chip lock)
+    from reni_tpu.utils import chiplock
+
+    stop_file = chiplock.trainer_stop_path()
+
     save_dir = os.path.join(logger.log_dir, config.TRAINER.CHKPTS.SAVE_DIR)
     tracker = _BestTracker(save_dir, task, model_cfg, write=primary)
     every = int(config.TRAINER.CHKPTS.EVERY_N_EPOCHS)
@@ -298,6 +317,16 @@ def run_task(
             # TRAINER.MAX_RUNTIME exceeded: stop cleanly after this segment
             # (the reference declares this knob but never reads it)
             return True
+        if _yield_requested(stop_file):
+            if config.TRAINER.CHKPTS.SAVE and epoch % every != 0:
+                # off-schedule force-save so the yield loses zero epochs
+                tracker.maybe_save(
+                    params_now, epoch, loss,
+                    opt_state=state_now.opt_state, rng_key=state_now.key,
+                )
+            chiplock.honor_yield(
+                stop_file, primary=primary, what=f"{task} trainer"
+            )
         if log_images and epoch % img_every == 0:
             # symmetric: collective allgather when params are sharded
             # across processes; every process joins, host 0 renders
@@ -342,6 +371,15 @@ def run_task(
                 )
             if _deadline_reached(deadline):
                 return True
+            if _yield_requested(stop_file):
+                if config.TRAINER.CHKPTS.SAVE and epoch % every != 0:
+                    tracker.maybe_save(
+                        state_now.params, epoch, loss,
+                        opt_state=state_now.opt_state, rng_key=state_now.key,
+                    )
+                chiplock.honor_yield(
+                    stop_file, primary=primary, what=f"{task} trainer"
+                )
 
         from reni_tpu.render.inverse import InverseRenderSetup
 
@@ -634,20 +672,108 @@ def _auto_resume_plan(config, log_dir: str):
     return tasks_list[i:], latest, None
 
 
+def _find_resumable_run(config):
+    """(log_dir, plan) of the newest existing run of this experiment whose
+    task chain is incomplete, or (None, None) to start fresh.
+
+    This is the PROCESS-RELAUNCH half of crash recovery: the in-process
+    ``--retries`` loop cannot survive a hard exit (the hang watchdog's 114,
+    a chip-preemption yield's 115, an OOM-killed worker), so an external
+    ``until python -m reni_tpu.cli.run ... --retries N; do :; done`` loop
+    reruns the command — and the fresh process must adopt the previous
+    attempt's run directory and newest checkpoint instead of starting a new
+    ``version_N`` from scratch. Engaged only in unattended mode
+    (``--retries > 0``) and without an explicit ``--resume``."""
+    save_dir = config.TRAINER.LOGGER.TB.SAVE_DIR
+    name = (
+        experiment_name(config)
+        if config.TRAINER.LOGGER.TB.NAME == "auto"
+        else config.TRAINER.LOGGER.TB.NAME
+    )
+    version, last = 0, None
+    while os.path.exists(os.path.join(save_dir, name, f"version_{version}")):
+        last = os.path.join(save_dir, name, f"version_{version}")
+        version += 1
+    if last is None:
+        return None, None
+    plan = _auto_resume_plan(config, last)
+    tasks_list, resume, load_path = plan
+    if not tasks_list:
+        return None, None  # previous run completed the whole chain
+    untouched = (
+        list(tasks_list) == list(config.RENI.TASKS)
+        and resume is None
+        and load_path == config.TRAINER.CHKPTS.LOAD_PATH
+    )
+    if untouched:
+        return None, None  # no checkpoints there — nothing to adopt
+    return last, plan
+
+
 def run_with_retries(config, mesh=None, resume=None, retries: int = 0, profile_dir=None):
     """Drive ``main`` with crash-retries: on an unexpected exception, resume
     from the newest checkpoint in the same run directory (the tunneled-TPU
     worker crashes sporadically under sustained load; see CLAUDE.md). A
-    retry loses at most TRAINER.CHKPTS.EVERY_N_EPOCHS epochs."""
-    import traceback
+    retry loses at most TRAINER.CHKPTS.EVERY_N_EPOCHS epochs.
 
+    With ``retries > 0`` a FRESH process also adopts the newest existing
+    incomplete run of the same experiment (``_find_resumable_run``), so an
+    external relaunch loop recovers hard exits (hang-watchdog 114,
+    chip-yield 115, killed workers) exactly like an in-process retry."""
     from reni_tpu.parallel import multihost
 
     # join the cluster BEFORE scanning for a free version_N: the scan races
     # against host 0 creating the directory, and agree_on_path needs
     # jax.distributed up (main()'s initialize is idempotent after this)
     multihost.initialize()
-    log_dir = multihost.agree_on_path(_new_log_dir(config))
+    # serialize against other chip jobs on this host (utils/chiplock.py):
+    # held across ALL retries — a preemptor (bench.py) that we yielded to
+    # blocks our supervisor-relaunched successor until it's done, and
+    # in-process retries must not release the chip either
+    from reni_tpu.utils import chiplock
+
+    with chiplock.hold_chip_lock(
+        chiplock.trainer_lock_path(), what="cli.run",
+        progress_cb=_note_progress,
+    ):
+        return _run_with_retries_locked(
+            config, mesh=mesh, resume=resume, retries=retries,
+            profile_dir=profile_dir,
+        )
+
+
+def _run_with_retries_locked(config, mesh=None, resume=None, retries: int = 0,
+                             profile_dir=None):
+    import json as _json
+    import traceback
+
+    from reni_tpu.parallel import multihost
+
+    log_dir = None
+    if retries > 0 and resume is None:
+        # process-relaunch recovery: adopt the newest incomplete run of
+        # this experiment (host 0 decides — other hosts may not see its
+        # files) instead of restarting the chain in a fresh version_N
+        found = _find_resumable_run(config) if multihost.is_primary() else None
+        blob = multihost.agree_on_str(
+            _json.dumps(found) if found and found[0] else ""
+        )
+        if blob:
+            log_dir, (tasks_list, resume, load_path) = _json.loads(blob)
+            if resume:
+                multihost.ensure_checkpoint(resume)
+            if load_path:
+                multihost.ensure_checkpoint(load_path)
+            config = config.clone()
+            config.RENI.TASKS = tasks_list
+            config.TRAINER.CHKPTS.LOAD_PATH = load_path
+            print(
+                f"[relaunch] adopting {log_dir}: tasks={tasks_list} "
+                f"resume={resume} load_path={load_path}",
+                flush=True,
+            )
+    if log_dir is None:
+        log_dir = multihost.agree_on_path(_new_log_dir(config))
     attempt = 0
     while True:
         try:
