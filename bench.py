@@ -146,6 +146,18 @@ def _arm_watchdog(timeout_s: float) -> None:
 
     def watch():
         time.sleep(timeout_s)
+        try:
+            # a contended preempt_and_hold keeps its yield request alive
+            # during the measurement; its finally never runs past os._exit,
+            # so consume the request here rather than spuriously stopping
+            # the NEXT chip job
+            from reni_tpu.utils import chiplock
+
+            stop = os.environ.get("RENI_TPU_STOP_FILE") or chiplock.DEFAULT_STOP
+            if stop and os.path.exists(stop):
+                os.remove(stop)
+        except Exception:
+            pass
         print(
             json.dumps(
                 {
@@ -216,10 +228,37 @@ def main():
         wait_s=float(os.environ.get("RENI_TPU_BENCH_LOCK_WAIT_S", "1200")),
         what="bench",
     ) as exclusive:
-        return _bench_locked(exclusive)
+        paths = _bench_tpu_paths()
+    if paths is None:
+        return 114
+    # the torch CPU baseline needs no chip: run it AFTER releasing the
+    # lock so a preempted queue trainer resumes while it grinds.
+    # Headline = the published batch-100 protocol only — the FiLM and
+    # saturated-batch figures are informational and must not leak into it
+    headline_paths = ("xla_exact_sine", "xla_fast_sine", "pallas_fast_sine")
+    value = max(v for k, v in paths.items() if k in headline_paths)
+    try:
+        baseline = bench_torch_reference()
+        vs = value / baseline
+    except Exception:
+        vs = float("nan")
+    record = {
+        "metric": "directional_samples_per_sec_per_chip_siren_fwd_bwd",
+        "value": round(value, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(vs, 2),
+        "paths": {k: round(v, 1) for k, v in paths.items()},
+    }
+    if not exclusive:
+        # another chip job never released the lock: the numbers above may
+        # be timeshared — record that rather than report them as clean
+        record["contended"] = True
+    print(json.dumps(record))
 
 
-def _bench_locked(exclusive: bool):
+def _bench_tpu_paths():
+    """All chip-touching measurements (run under the chip lock); returns
+    the per-path samples/s dict, or None after printing the error JSON."""
     import os
 
     _arm_watchdog(float(os.environ.get("RENI_TPU_BENCH_TIMEOUT_S", "1500")))
@@ -245,13 +284,12 @@ def _bench_locked(exclusive: bool):
             ),
             flush=True,
         )
-        return 114
+        return None
     try:
         paths["xla_fast_sine"] = bench_jax(fast_sine=True)
         paths["pallas_fast_sine"] = bench_jax(use_pallas=True, fast_sine=True)
     except Exception:
         pass  # non-TPU backends may lack the kernel path
-    value = max(paths.values())
     try:
         paths["pallas_fast_sine_film"] = bench_jax(
             use_pallas=True, fast_sine=True, conditioning="FiLM"
@@ -261,23 +299,7 @@ def _bench_locked(exclusive: bool):
         )
     except Exception:
         pass  # informational figures; keep the headline robust
-    try:
-        baseline = bench_torch_reference()
-        vs = value / baseline
-    except Exception:
-        vs = float("nan")
-    record = {
-        "metric": "directional_samples_per_sec_per_chip_siren_fwd_bwd",
-        "value": round(value, 1),
-        "unit": "samples/s/chip",
-        "vs_baseline": round(vs, 2),
-        "paths": {k: round(v, 1) for k, v in paths.items()},
-    }
-    if not exclusive:
-        # another chip job never released the lock: the numbers above may
-        # be timeshared — record that rather than report them as clean
-        record["contended"] = True
-    print(json.dumps(record))
+    return paths
 
 
 if __name__ == "__main__":

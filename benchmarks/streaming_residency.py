@@ -34,7 +34,10 @@ p.add_argument("--skip_disk", action="store_true",
 args = p.parse_args()
 
 # serialize against other chip jobs; yield between tiers if a preemptor
-# (bench.py) asks — a rerun repeats at most the finished tiers
+# (bench.py) asks — a rerun repeats at most the finished tiers. This
+# script is module-level by design, so the lock is entered manually with
+# an atexit release (on hard exits the kernel drops the flock anyway;
+# cli-style code should use the with-block form, see bwd_anatomy.py)
 import atexit
 
 from reni_tpu.utils import chiplock

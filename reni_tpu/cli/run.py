@@ -108,13 +108,15 @@ def _deadline_reached(deadline: float | None) -> bool:
 def _yield_requested(stop_file: str | None) -> bool:
     """Chip-preemption check (`utils/chiplock.py`): a preemptor (bench.py)
     asked the trainer to release the shared chip. COLLECTIVE like
-    `_deadline_reached` — every host must agree to yield at the same
-    segment, or the rest block in the training psums."""
-    if stop_file is None:
-        return False
+    `_deadline_reached` — and called UNCONDITIONALLY so every host joins
+    the broadcast even when its own env leaves stop_file unset (a per-host
+    RENI_TPU_STOP_FILE asymmetry must not mispair collectives); host 0's
+    verdict decides for everyone."""
     from reni_tpu.parallel import multihost
 
-    return multihost.agree_on_flag(os.path.exists(stop_file))
+    return multihost.agree_on_flag(
+        bool(stop_file) and os.path.exists(stop_file)
+    )
 
 
 class _BestTracker:
@@ -514,17 +516,31 @@ def _dump_model_graph(model, params, log_dir: str, task: str) -> None:
         f.write(txt)
 
 
-def _new_log_dir(config) -> str:
+def _experiment_runs(config) -> tuple[str | None, str]:
+    """(newest existing version dir or None, next free version dir) of
+    this config's experiment — the one version_N scan, shared by fresh-dir
+    selection and relaunch adoption so the two can never diverge."""
     save_dir = config.TRAINER.LOGGER.TB.SAVE_DIR
     name = (
         experiment_name(config)
         if config.TRAINER.LOGGER.TB.NAME == "auto"
         else config.TRAINER.LOGGER.TB.NAME
     )
-    version = 0
+    version, last = 0, None
     while os.path.exists(os.path.join(save_dir, name, f"version_{version}")):
+        last = os.path.join(save_dir, name, f"version_{version}")
         version += 1
-    return os.path.join(save_dir, name, f"version_{version}")
+    return last, os.path.join(save_dir, name, f"version_{version}")
+
+
+def _config_fingerprint(config) -> str:
+    import json as _json
+
+    return _json.dumps(config.to_dict(), sort_keys=True, default=str)
+
+
+def _new_log_dir(config) -> str:
+    return _experiment_runs(config)[1]
 
 
 def main(config, mesh=None, resume=None, log_dir=None, profile_dir=None):
@@ -550,6 +566,16 @@ def main(config, mesh=None, resume=None, log_dir=None, profile_dir=None):
         wandb_cfg = dict(config.TRAINER.LOGGER.WANDB)
         wandb_cfg["run_config"] = config.to_dict()
     logger = MetricLogger(log_dir, wandb_config=wandb_cfg, enabled=primary)
+    if primary:
+        # resolved-config record (the reference keeps hyper_parameters in
+        # every Lightning ckpt); also the identity check gating relaunch
+        # adoption (_find_resumable_run). First writer wins: retries
+        # re-enter with a trimmed TASKS list that must not overwrite it.
+        fingerprint = os.path.join(log_dir, "config.json")
+        if not os.path.exists(fingerprint):
+            os.makedirs(log_dir, exist_ok=True)
+            with open(fingerprint, "w") as f:
+                f.write(_config_fingerprint(config))
 
     tasks_list = list(config.RENI.TASKS)
     load_path = config.TRAINER.CHKPTS.LOAD_PATH
@@ -683,19 +709,27 @@ def _find_resumable_run(config):
     reruns the command — and the fresh process must adopt the previous
     attempt's run directory and newest checkpoint instead of starting a new
     ``version_N`` from scratch. Engaged only in unattended mode
-    (``--retries > 0``) and without an explicit ``--resume``."""
-    save_dir = config.TRAINER.LOGGER.TB.SAVE_DIR
-    name = (
-        experiment_name(config)
-        if config.TRAINER.LOGGER.TB.NAME == "auto"
-        else config.TRAINER.LOGGER.TB.NAME
-    )
-    version, last = 0, None
-    while os.path.exists(os.path.join(save_dir, name, f"version_{version}")):
-        last = os.path.join(save_dir, name, f"version_{version}")
-        version += 1
+    (``--retries > 0``) and without an explicit ``--resume``.
+
+    Adoption requires config identity: every run stores its resolved
+    config (``config.json`` in the run dir, written by ``main``) and a
+    candidate whose stored config differs from the current one is never
+    adopted — with an explicit ``TB.NAME`` the directory name encodes no
+    hyperparameters, and resuming yesterday's aborted run under today's
+    edited YAML would silently train the wrong thing."""
+    last, _ = _experiment_runs(config)
     if last is None:
         return None, None
+    stored = os.path.join(last, "config.json")
+    if os.path.exists(stored):
+        with open(stored) as f:
+            if f.read() != _config_fingerprint(config):
+                print(
+                    f"[relaunch] {last} was trained with a different "
+                    "config — starting fresh instead of adopting it",
+                    flush=True,
+                )
+                return None, None
     plan = _auto_resume_plan(config, last)
     tasks_list, resume, load_path = plan
     if not tasks_list:
@@ -732,25 +766,37 @@ def run_with_retries(config, mesh=None, resume=None, retries: int = 0, profile_d
     # in-process retries must not release the chip either
     from reni_tpu.utils import chiplock
 
+    lock_path = chiplock.trainer_lock_path()
     with chiplock.hold_chip_lock(
-        chiplock.trainer_lock_path(), what="cli.run",
-        progress_cb=_note_progress,
-    ):
+        lock_path, what="cli.run", progress_cb=_note_progress,
+    ) as got_lock:
         return _run_with_retries_locked(
             config, mesh=mesh, resume=resume, retries=retries,
             profile_dir=profile_dir,
+            # failing open on the LOCK must not extend to ADOPTION: the
+            # holder that never yielded may be live-training the very run
+            # we would adopt — two writers in one run dir clobber each
+            # other's checkpoints. Locking disabled (path None) adopts
+            # normally; engaged-but-unacquired does not.
+            allow_adopt=lock_path is None or got_lock,
         )
 
 
 def _run_with_retries_locked(config, mesh=None, resume=None, retries: int = 0,
-                             profile_dir=None):
+                             profile_dir=None, allow_adopt: bool = True):
     import json as _json
     import traceback
 
     from reni_tpu.parallel import multihost
 
     log_dir = None
-    if retries > 0 and resume is None:
+    if retries > 0 and resume is None and not allow_adopt:
+        print(
+            "[relaunch] chip lock is held by another live job — NOT "
+            "adopting its run directory; starting fresh",
+            flush=True,
+        )
+    if retries > 0 and resume is None and allow_adopt:
         # process-relaunch recovery: adopt the newest incomplete run of
         # this experiment (host 0 decides — other hosts may not see its
         # files) instead of restarting the chain in a fresh version_N

@@ -183,7 +183,10 @@ def preempt_and_hold(*, wait_s: float, what: str = "bench"):
         yield True  # explicitly disabled: caller opted out of arbitration
         return
     lp = lp or DEFAULT_LOCK
-    stop = os.environ.get("RENI_TPU_STOP_FILE") or DEFAULT_STOP
+    stop = os.environ.get("RENI_TPU_STOP_FILE")
+    if stop is None:
+        stop = DEFAULT_STOP
+    stop = stop or None  # empty env disables the preemption half too
     import fcntl
 
     f = open(lp, "a")
@@ -194,13 +197,17 @@ def preempt_and_hold(*, wait_s: float, what: str = "bench"):
             fcntl.flock(f.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
             got = True
         except OSError:
-            _log(f"{what}: chip busy — requesting yield via {stop}")
+            if stop:
+                _log(f"{what}: chip busy — requesting yield via {stop}")
+            else:
+                _log(f"{what}: chip busy — waiting (preemption disabled)")
             while not got and time.monotonic() <= deadline:
-                # re-assert each poll: a relaunched holder consumes the
-                # file on its way out, and a fresh holder that won the
-                # flock race must see a new request
-                with open(stop, "a"):
-                    pass
+                if stop:
+                    # re-assert each poll: a relaunched holder consumes
+                    # the file on its way out, and a fresh holder that won
+                    # the flock race must see a new request
+                    with open(stop, "a"):
+                        pass
                 try:
                     fcntl.flock(f.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
                     got = True
@@ -211,7 +218,7 @@ def preempt_and_hold(*, wait_s: float, what: str = "bench"):
                     f"{what}: chip lock still held after {wait_s:.0f}s — "
                     "proceeding anyway (numbers may be contended)"
                 )
-        if got:
+        if got and stop:
             # stale or our own request: nobody should yield to us now
             with contextlib.suppress(FileNotFoundError, OSError):
                 os.remove(stop)
@@ -220,7 +227,7 @@ def preempt_and_hold(*, wait_s: float, what: str = "bench"):
         if got:
             with contextlib.suppress(OSError):
                 fcntl.flock(f.fileno(), fcntl.LOCK_UN)
-        else:
+        elif stop:
             # timed-out (contended) path: the request stayed active during
             # the measurement — the holder yielding mid-run still helps —
             # but must not linger to spuriously stop the NEXT holder

@@ -52,6 +52,20 @@ def test_preempt_disabled_by_empty_env(monkeypatch):
         assert exclusive  # explicitly opted out: treated as uncontended
 
 
+def test_preempt_honors_disabled_stop_file(tmp_path, monkeypatch):
+    """RENI_TPU_STOP_FILE="" disables the preemption half symmetrically:
+    the preemptor must wait WITHOUT dropping a stop file anywhere."""
+    lock = str(tmp_path / "chip.lock")
+    monkeypatch.setenv("RENI_TPU_CHIP_LOCK", lock)
+    monkeypatch.setenv("RENI_TPU_STOP_FILE", "")
+    default_preexists = os.path.exists(chiplock.DEFAULT_STOP)
+    with chiplock.hold_chip_lock(lock, wait_s=5.0, what="holder") as got:
+        assert got
+        with chiplock.preempt_and_hold(wait_s=0.5, what="bench") as exclusive:
+            assert not exclusive  # timed out, contended
+        assert os.path.exists(chiplock.DEFAULT_STOP) == default_preexists
+
+
 def test_preempt_requests_yield_then_takes_lock(tmp_path, monkeypatch):
     """The full handshake: a holder sees the stop file appear, releases,
     and the preemptor takes over and consumes the request."""
@@ -163,6 +177,18 @@ def test_cli_yield_and_relaunch_resume(tmp_path, monkeypatch):
 
     # a completed chain is never adopted — the next launch starts fresh
     assert _find_resumable_run(cfg) == (None, None)
+
+    # config identity gates adoption: an edited config must start fresh
+    # even mid-chain (main() stored version_0's resolved config.json)
+    assert os.path.exists(os.path.join(v0, "config.json"))
+    for name in ("fit_latent_final", "fit_latent_latest",
+                 "fit_latent_epoch=0012"):
+        for ext in (".npz", ".json"):
+            os.remove(os.path.join(v0, "checkpoints", name + ext))
+    assert _find_resumable_run(cfg)[0] == v0  # incomplete again: adoptable
+    edited = cfg.clone()
+    edited.RENI.FIT_LATENT.EPOCHS = 24  # same auto-name, different config
+    assert _find_resumable_run(edited) == (None, None)
 
     # the resumed LR curve continues the schedule, no restart from epoch 1
     with open(os.path.join(v0, "metrics.jsonl")) as f:
