@@ -33,6 +33,15 @@ def main(argv=None):
     ap.add_argument("--rotation_columns", type=int, default=8)
     args = ap.parse_args(argv)
 
+    # serialize against other chip jobs (utils/chiplock.py): eval decodes
+    # dispatch on the shared chip too and must not timeshare a bench
+    from reni_tpu.utils import chiplock
+
+    with chiplock.hold_chip_lock(chiplock.trainer_lock_path(), what="cli.evaluate"):
+        return _main(args)
+
+
+def _main(args):
     cfg = get_cfg_defaults()
     if args.cfg_path:
         cfg.merge_from_file(args.cfg_path)
