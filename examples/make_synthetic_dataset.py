@@ -88,6 +88,12 @@ def main(argv=None):
     ap.add_argument("--ldr", action="store_true",
                     help="write tonemapped 8-bit PNGs (RENI_LDR datasets) "
                     "instead of HDR EXRs; same --seed => the same skies")
+    ap.add_argument("--pixel_type", default="half", choices=["half", "float"],
+                    help="EXR channel type (float = exact f32 roundtrip)")
+    ap.add_argument("--compression", default="ZIP",
+                    help="EXR compression (NONE is ~2x faster to stage and "
+                    "the fastest to decode — used for the beyond-HBM "
+                    "out-of-core runs)")
     args = ap.parse_args(argv)
 
     from reni_tpu.data import exr
@@ -105,7 +111,9 @@ def main(argv=None):
                     os.path.join(d, f"sky_{i:04d}.png")
                 )
             else:
-                exr.write(os.path.join(d, f"sky_{i:04d}.exr"), sky)
+                exr.write(os.path.join(d, f"sky_{i:04d}.exr"), sky,
+                          pixel_type=args.pixel_type,
+                          compression=args.compression)
         kind = "PNGs" if args.ldr else "EXRs"
         print(f"{split}: {n} {kind} at {args.width // 2}x{args.width} -> {d}")
 
