@@ -7,6 +7,7 @@
 # Run:  nohup setsid bash benchmarks/chipq_r4b.sh >> benchmarks/results/r4/queue.log 2>&1 &
 set -u
 cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 R=benchmarks/results/r4
 mkdir -p "$R"
 PY=python
