@@ -102,7 +102,8 @@ _DEFAULTS = {
         "MAPPING_FEATURES": 256,
         # TPU-build extension: first-layer init bound multiplier (1.0 = the
         # reference's U(+-1/in)); ~sqrt(in(N)/in(49)) compensates the
-        # shrinking pre-activation std at large latent dims (PERF.md sweep)
+        # shrinking pre-activation std at large latent dims (A/B on the
+        # N=100 chain: PERF.md "FIRST_LAYER_INIT_SCALE A/B")
         "FIRST_LAYER_INIT_SCALE": 1.0,
         "FIT_DECODER": {
             **_TASK_COMMON,
