@@ -91,6 +91,8 @@ def main(argv=None):
     ap.add_argument("--pixel_type", default="half", choices=["half", "float"],
                     help="EXR channel type (float = exact f32 roundtrip)")
     ap.add_argument("--compression", default="ZIP",
+                    choices=["NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24",
+                             "B44", "B44A", "DWAA", "DWAB"],
                     help="EXR compression (NONE is ~2x faster to stage and "
                     "the fastest to decode — used for the beyond-HBM "
                     "out-of-core runs)")

@@ -38,14 +38,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 # the zoo matrix: both conditionings, both latent capacities the PERF.md
-# prior-scaling table measures, and the LDR chain (reference run.py:44-49
-# ships {36,49,...} x {vad,ad} x {cbc,film} x {hdr,ldr}; this matrix covers
-# the axes that change behaviour — conditioning, capacity, dynamic range)
+# prior-scaling table measures, the LDR chain, the non-variational (ad)
+# chain and the exp-activation chain (reference run.py:44-49 ships
+# {36,49,...} x {vad,ad} x {cbc,film} x {hdr,ldr} with tanh/exp activation
+# naming; this matrix covers every axis that changes behaviour —
+# conditioning, capacity, dynamic range, model type, output activation)
 ENTRIES = [
     {"latent_dim": 49, "conditioning": "Cond-by-Concat", "dataset": "hdr"},
     {"latent_dim": 100, "conditioning": "Cond-by-Concat", "dataset": "hdr"},
     {"latent_dim": 49, "conditioning": "FiLM", "dataset": "hdr"},
     {"latent_dim": 49, "conditioning": "Cond-by-Concat", "dataset": "ldr"},
+    {"latent_dim": 49, "conditioning": "Cond-by-Concat", "dataset": "hdr",
+     "model_type": "AutoDecoder"},
+    {"latent_dim": 49, "conditioning": "Cond-by-Concat", "dataset": "hdr",
+     "output_activation": "exp"},
 ]
 
 SEED = 1  # the PERF.md 1000-map prior ("fresh seed-1 skies")
@@ -61,6 +67,8 @@ def entry_config(entry: dict, data_dir: str, ckpt_dir: str, runs_dir: str):
     cfg.merge_from_file(os.path.join(ROOT, "configs", "zoo_synthetic.yaml"))
     cfg.RENI.LATENT_DIMENSION = int(entry["latent_dim"])
     cfg.RENI.CONDITIONING = entry["conditioning"]
+    cfg.RENI.MODEL_TYPE = entry.get("model_type", "VariationalAutoDecoder")
+    cfg.RENI.OUTPUT_ACTIVATION = entry.get("output_activation", "tanh")
     if entry["dataset"] == "ldr":
         cfg.DATASET.NAME = "RENI_LDR"
         cfg.DATASET.RENI_LDR.PATH = data_dir
@@ -70,6 +78,13 @@ def entry_config(entry: dict, data_dir: str, ckpt_dir: str, runs_dir: str):
         cfg.DATASET.RENI_LDR.IS_HDR = False
     else:
         cfg.DATASET.RENI_HDR.PATH = data_dir
+        if entry.get("output_activation") == "exp":
+            # exp predicts LINEAR radiance: train on unnormalised HDR.
+            # The reference cannot run exp at all (nn.Exp() does not exist,
+            # reference src/models/RENI.py:174) so the pairing is this
+            # build's decision, recorded in PARITY.md: minmax-log targets
+            # span [-1, 1], unreachable from exp's (0, inf) codomain.
+            cfg.DATASET.RENI_HDR.TRANSFORMS = []
     cfg.TRAINER.CHKPTS.SAVE_DIR = ckpt_dir
     cfg.TRAINER.LOGGER.TB.SAVE_DIR = runs_dir
     return cfg
