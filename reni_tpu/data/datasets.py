@@ -206,11 +206,23 @@ class EnvironmentMapDataset:
     def _stage_row(self, i: int, res: tuple[int, int]) -> np.ndarray:
         """Decode (lazy) or fetch (eager) image ``i`` and stage it at
         ``res``. Lazy mode requires deterministic extra transforms (enforced
-        at construction), so per-row staging is order-independent."""
-        img = (
-            self._reader(self._paths[i]) if self._native is None
-            else self._native[i]
-        )
+        at construction), so per-row staging is order-independent.
+
+        Lazy decodes retry ONCE: mid-training decode faults observed in
+        production (the r4 beyond-HBM chain) can be transient — a short
+        read under extreme memory pressure re-reads clean — and a retry is
+        free next to losing the whole trainer. A persistent fault re-raises
+        the decoder's error (an ExrError naming file and chunk)."""
+        if self._native is not None:
+            img = self._native[i]
+        else:
+            try:
+                img = self._reader(self._paths[i])
+            except Exception as first:
+                try:
+                    img = self._reader(self._paths[i])
+                except Exception:
+                    raise first from None
         return self._stage_img(img, res[0], res[1], self._extra_transforms)
 
     def row_source_at(self, resolution: tuple[int, int]) -> "DiskRowSource":

@@ -591,10 +591,12 @@ def test_exr_rejects_non_exr(tmp_path):
 
 
 def test_exr_corrupt_files_fail_cleanly(tmp_path):
-    """Truncated and bit-flipped files must raise (never crash or hang):
+    """Truncated and bit-flipped files must raise ExrError (never a bare
+    ValueError/struct.error from inside a codec, never crash or hang):
     the native decoder returns an error code for malformed payloads and
-    the Python fallback raises the precise error. Exercises the native
-    bounds checks across every compression's payload parser."""
+    the Python fallback raises the precise error; the decode boundary
+    converts anything residual. Exercises the native bounds checks across
+    every compression's payload parser."""
     from reni_tpu.data import exr
 
     rng = np.random.default_rng(3)
@@ -610,8 +612,8 @@ def test_exr_corrupt_files_fail_cleanly(tmp_path):
                 f.write(blob[: int(len(blob) * frac)])
             try:
                 exr.read(q)
-            except Exception:
-                pass  # any raise is acceptable; crashes/hangs are not
+            except exr.ExrError:
+                pass  # the decode-boundary contract; anything else fails
         # deterministic bit flips inside the chunk region
         for k in range(8):
             q = str(tmp_path / "flip.exr")
@@ -622,8 +624,105 @@ def test_exr_corrupt_files_fail_cleanly(tmp_path):
                 f.write(corrupted)
             try:
                 exr.read(q)  # may also succeed (flip in slack bytes)
-            except Exception:
+            except exr.ExrError:
                 pass
+
+
+def test_exr_truncation_fuzz_raises_exrerror(tmp_path):
+    """Regression for the r4 beyond-HBM production crash (bare
+    'ValueError: buffer size must be a multiple of element size' from
+    exr.py's Python scanline loop on a short uncompressed chunk): EVERY
+    truncation point of EVERY compression must either decode (truncation
+    in slack bytes) or raise ExrError naming the file — under both the
+    native decoder and the forced pure-Python fallback (the path that
+    crashed in production)."""
+    from reni_tpu.data import exr
+
+    rng = np.random.default_rng(11)
+    img = np.abs(rng.normal(size=(37, 53, 3))).astype(np.float32)
+    comps = ("NONE", "RLE", "ZIPS", "ZIP", "PIZ", "PXR24", "B44", "DWAA")
+    import contextlib
+
+    for comp in comps:
+        p = str(tmp_path / f"t_{comp}.exr")
+        exr.write(p, img, pixel_type="float", compression=comp)
+        blob = open(p, "rb").read()
+        # dense sweep biased into the chunk region (headers are tiny)
+        cuts = set(range(4, 400, 23)) | set(
+            range(400, len(blob), max(1, len(blob) // 40))
+        )
+        for native in (True, False):
+            ctx = (
+                contextlib.nullcontext()
+                if native
+                else exr.force_python_decoder()
+            )
+            with ctx:
+                for cut in sorted(cuts):
+                    q = str(tmp_path / "cut.exr")
+                    with open(q, "wb") as f:
+                        f.write(blob[:cut])
+                    try:
+                        exr.read(q)
+                    except exr.ExrError as e:
+                        assert "cut.exr" in str(e), (comp, cut, native, e)
+                    # any other exception type propagates = test failure
+
+
+def test_exr_truncated_none_chunk_message(tmp_path):
+    """The exact production shape: compression NONE, file cut mid-chunk.
+    The error must be an ExrError carrying the path and chunk coordinates
+    (the r4 crash gave neither), on both decoders."""
+    from reni_tpu.data import exr
+
+    img = np.linspace(0, 1, 16 * 32 * 3, dtype=np.float32).reshape(16, 32, 3)
+    p = str(tmp_path / "none.exr")
+    exr.write(p, img, pixel_type="float", compression="NONE")
+    blob = open(p, "rb").read()
+    q = str(tmp_path / "none_cut.exr")
+    with open(q, "wb") as f:
+        f.write(blob[: len(blob) - 100])  # cut inside the last chunks
+    for forced in (False, True):
+        ctx = exr.force_python_decoder() if forced else __import__(
+            "contextlib"
+        ).nullcontext()
+        with ctx:
+            with pytest.raises(exr.ExrError, match="none_cut.exr"):
+                exr.read(q)
+
+
+def test_lazy_stage_row_retries_transient_decode_fault(tmp_path):
+    """DiskRowSource's decode boundary retries ONCE: a transient fault
+    (short read) heals; a persistent one re-raises the decoder's error."""
+    from reni_tpu.data import exr
+    from reni_tpu.data.datasets import EnvironmentMapDataset
+
+    img = np.abs(np.random.default_rng(7).normal(size=(8, 16, 3))).astype(
+        np.float32
+    )
+    for i in range(3):
+        exr.write(str(tmp_path / f"i{i}.exr"), img, pixel_type="float")
+    ds = EnvironmentMapDataset(str(tmp_path), is_hdr=True, lazy=True)
+
+    calls = {"n": 0}
+    real = ds._reader
+
+    def flaky(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise exr.ExrError(f"{path}: transient")
+        return real(path)
+
+    ds._reader = flaky
+    row = ds._stage_row(1, (8, 16))
+    assert row.shape == (8 * 16, 3) and calls["n"] == 2
+
+    def broken(path):
+        raise exr.ExrError(f"{path}: persistent")
+
+    ds._reader = broken
+    with pytest.raises(exr.ExrError, match="persistent"):
+        ds._stage_row(2, (8, 16))
 
 
 def test_exr_corrupt_header_fields_raise(tmp_path):
