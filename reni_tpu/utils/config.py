@@ -129,13 +129,16 @@ _DEFAULTS = {
             "OBJECT_PATH": "data/3D_Models/teapot.obj",
             "KD_VALUE": 1.0,
             # TPU-build extension: static camera views (paired degree
-            # lists). The reference renders one look_at(dist, 0, 0) view
-            # (pytorch3d_envmap_shader.py:195-217) = [[0.0], [0.0]] here;
-            # the default adds two more views so narrow-normal geometry
-            # (the bundled teapot) constrains the whole environment
-            # (PERF.md "FIT_INVERSE with the bundled teapot")
-            "AZIMUTHS": [0.0, 120.0, 240.0],
-            "ELEVATIONS": [0.0, 30.0, -30.0],
+            # lists). The DEFAULT is the reference's single look_at(dist,
+            # 0, 0) camera (pytorch3d_envmap_shader.py:195-217), so
+            # published configs (which have no AZIMUTHS key) run the same
+            # inverse experiment the reference would. Multi-view is the
+            # documented opt-in — e.g. [0, 120, 240]/[0, 30, -30] lifts
+            # the teapot's worst-view render correlation 0.55 -> 0.995 and
+            # test PSNR 36.6 -> 38.5 dB with the same decoder (PERF.md
+            # r5 single-view control A/B)
+            "AZIMUTHS": [0.0],
+            "ELEVATIONS": [0.0],
         },
     },
     "DATASET": {
