@@ -267,15 +267,10 @@ def _run(args, stop_file):
     timed("fwd", fwd_call, (d_pad, a, b0, ws, bs, wf, bf))
     timed("bwd", bwd_call, (d_pad, a, b0, ws, bs, wf, bf, g))
 
-    # the SHIPPED kernels at interleave 2/4 (numerically correct, unlike the
-    # surgical variants below) — this is the A/B that decides whether
-    # RENI_TPU_INTERLEAVE becomes the default schedule
-    for il in (2, 4):
-        fwd_il, bwd_il = sp._siren_calls(
-            L, H, 30.0, 30.0, tile=args.tile, fast_sine=True, interleave=il
-        )
-        timed(f"fwd_il{il}", fwd_il, (d_pad, a, b0, ws, bs, wf, bf))
-        timed(f"bwd_il{il}", bwd_il, (d_pad, a, b0, ws, bs, wf, bf, g))
+    # NOTE (r5): the r4 interleave A/B measured NO win (bwd_il2 59.8 ms vs
+    # 57.4 baseline, anatomy.json) — RENI_TPU_INTERLEAVE was removed from
+    # the shipped kernels; the surgical fwd_interleave* variants below
+    # remain as anatomy probes only.
 
     from reni_tpu.core.fastmath import sine_fns
 

@@ -139,33 +139,19 @@ def _dot(a, b, dims, trunk_dtype):
 
 def _fwd_kernel(
     d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, out_ref,
-    *, n_hidden, omega0, omega_h, trunk_dtype, sine, interleave=1,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sine,
 ):
     d = d_ref[0]  # (TM, K_PAD)
-    # interleave > 1 splits the tile into independent row groups processed
-    # layer-by-layer: same math, but the scheduler gets a group's matmul
-    # (MXU) to issue under another group's sine (VPU) — the strict
-    # matmul->sine chain otherwise serialises the two units (bwd_anatomy
-    # fwd_interleave*; opt-in via RENI_TPU_INTERLEAVE pending on-chip A/B)
-    step = d.shape[0] // interleave
-    parts = [d[j * step : (j + 1) * step] for j in range(interleave)]
-    hs = [
-        sine(omega0 * (_matmul(p, a_ref[0], trunk_dtype) + b0_ref[0]))
-        for p in parts
-    ]
+    h = sine(omega0 * (_matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]))
     for i in range(n_hidden):
-        hs = [
-            sine(omega_h * (_matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]))
-            for h in hs
-        ]
-    outs = [_matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0] for h in hs]
-    out_ref[0] = jnp.concatenate(outs, axis=0) if interleave > 1 else outs[0]
+        h = sine(omega_h * (_matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]))
+    out_ref[0] = _matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0]
 
 
 def _bwd_kernel(
     d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref, g_ref,
     da_ref, db0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref,
-    *, n_hidden, omega0, omega_h, trunk_dtype, sincos, interleave=1,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sincos,
 ):
     b = pl.program_id(0)
     pt = pl.program_id(1)
@@ -184,79 +170,58 @@ def _bwd_kernel(
 
     d = d_ref[0]  # (TM, K_PAD)
     g = g_ref[0]  # (TM, C_PAD)
-    # interleave > 1: independent row groups, layer-by-layer (see
-    # _fwd_kernel) — gives the scheduler MXU work under every sincos/VPU op
-    step = d.shape[0] // interleave
-    dps = [d[j * step : (j + 1) * step] for j in range(interleave)]
-    gps = [g[j * step : (j + 1) * step] for j in range(interleave)]
 
     # recompute forward; the joint sincos shares the range reduction
-    # between the activation and the sin' chain-rule factor.
-    # hs[i][j] / cs[i][j]: layer-i activation / cos factor of row group j
-    z0s = [_matmul(p, a_ref[0], trunk_dtype) + b0_ref[0] for p in dps]
-    hc0 = [sincos(omega0 * z0) for z0 in z0s]
-    hs = [[h for h, _ in hc0]]
-    cs = [[c for _, c in hc0]]
+    # between the activation and the sin' chain-rule factor
+    h, c = sincos(omega0 * (_matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]))
+    hs, cs = [h], [c]
     for i in range(n_hidden):
-        hci = [
-            sincos(omega_h * (_matmul(h, ws_ref[i], trunk_dtype) + bs_ref[i]))
-            for h in hs[-1]
-        ]
-        hs.append([h for h, _ in hci])
-        cs.append([c for _, c in hci])
+        h, c = sincos(
+            omega_h * (_matmul(hs[-1], ws_ref[i], trunk_dtype) + bs_ref[i])
+        )
+        hs.append(h)
+        cs.append(c)
 
     # final linear
-    for j in range(interleave):
-        dwf_ref[...] += _dot(hs[-1][j], gps[j], ((0,), (0,)), trunk_dtype)
+    dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
     dbf_ref[...] += jnp.sum(g, axis=0, keepdims=True)
-    dhs = [_dot(gp, wf_ref[...], ((1,), (1,)), trunk_dtype) for gp in gps]
+    dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)
 
     for i in reversed(range(n_hidden)):
-        dzs = [dh * (omega_h * c) for dh, c in zip(dhs, cs[i + 1])]
-        for j in range(interleave):
-            dws_ref[i] += _dot(hs[i][j], dzs[j], ((0,), (0,)), trunk_dtype)
-            dbs_ref[i] += jnp.sum(dzs[j], axis=0)
-        dhs = [_dot(dz, ws_ref[i], ((1,), (1,)), trunk_dtype) for dz in dzs]
+        dz = dh * (omega_h * cs[i + 1])
+        dws_ref[i] += _dot(hs[i], dz, ((0,), (0,)), trunk_dtype)
+        dbs_ref[i] += jnp.sum(dz, axis=0)
+        dh = _dot(dz, ws_ref[i], ((1,), (1,)), trunk_dtype)
 
-    dz0s = [dh * (omega0 * c) for dh, c in zip(dhs, cs[0])]
-    for j in range(interleave):
-        da_ref[0] += _dot(dps[j], dz0s[j], ((0,), (0,)), trunk_dtype)
-        db0_ref[0] += jnp.sum(dz0s[j], axis=0)
+    dz0 = dh * (omega0 * cs[0])
+    da_ref[0] += _dot(d, dz0, ((0,), (0,)), trunk_dtype)
+    db0_ref[0] += jnp.sum(dz0, axis=0)
 
 
 def _film_fwd_kernel(
     d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, out_ref,
-    *, n_trunk, hidden, trunk_dtype, sine, interleave=1,
+    *, n_trunk, hidden, trunk_dtype, sine,
 ):
     d = d_ref[0]  # (TM, K_PAD)
     f = fr_ref[0, 0]  # (T*H,)
     p = ph_ref[0, 0]
-    # interleave > 1: independent row groups, layer-by-layer — same
-    # MXU/VPU-overlap rationale as _fwd_kernel
-    step = d.shape[0] // interleave
-    dps = [d[j * step : (j + 1) * step] for j in range(interleave)]
-    hs = [None] * interleave
+    h = None
     for i in range(n_trunk):
         lo = i * hidden
         fi, pi = f[lo : lo + hidden], p[lo : lo + hidden]
-        pres = [
-            (
-                _matmul(dps[j], a0_ref[0], trunk_dtype)
-                if i == 0
-                else _matmul(hs[j], ws_ref[i - 1], trunk_dtype)
-            )
-            + bs_ref[i]
-            for j in range(interleave)
-        ]
-        hs = [sine(fi * pre + pi) for pre in pres]
-    outs = [_matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0] for h in hs]
-    out_ref[0] = jnp.concatenate(outs, axis=0) if interleave > 1 else outs[0]
+        pre = (
+            _matmul(d, a0_ref[0], trunk_dtype)
+            if i == 0
+            else _matmul(h, ws_ref[i - 1], trunk_dtype)
+        ) + bs_ref[i]
+        h = sine(fi * pre + pi)
+    out_ref[0] = _matmul(h, wf_ref[...], trunk_dtype) + bf_ref[0]
 
 
 def _film_bwd_kernel(
     d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref, g_ref,
     da0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref, dfr_ref, dph_ref,
-    *, n_trunk, hidden, trunk_dtype, sincos, interleave=1,
+    *, n_trunk, hidden, trunk_dtype, sincos,
 ):
     b = pl.program_id(0)
     pt = pl.program_id(1)
@@ -278,60 +243,39 @@ def _film_bwd_kernel(
     f = fr_ref[0, 0]
     p = ph_ref[0, 0]
     g = g_ref[0]
-    # interleave > 1: independent row groups, layer-by-layer (see
-    # _film_fwd_kernel); index [i][j] = layer i, row group j
-    step = d.shape[0] // interleave
-    dps = [d[j * step : (j + 1) * step] for j in range(interleave)]
-    gps = [g[j * step : (j + 1) * step] for j in range(interleave)]
     # recompute forward; joint sincos shares the range reduction between
     # the activation and the sin' chain-rule factor
     pres, hs, coss = [], [], []
     for i in range(n_trunk):
         lo = i * hidden
         fi, pi = f[lo : lo + hidden], p[lo : lo + hidden]
-        pre_i = [
-            (
-                _matmul(dps[j], a0_ref[0], trunk_dtype)
-                if i == 0
-                else _matmul(hs[-1][j], ws_ref[i - 1], trunk_dtype)
-            )
-            + bs_ref[i]
-            for j in range(interleave)
-        ]
-        hc_i = [sincos(fi * pre + pi) for pre in pre_i]
-        pres.append(pre_i)
-        hs.append([h for h, _ in hc_i])
-        coss.append([c for _, c in hc_i])
+        pre = (
+            _matmul(d, a0_ref[0], trunk_dtype)
+            if i == 0
+            else _matmul(hs[-1], ws_ref[i - 1], trunk_dtype)
+        ) + bs_ref[i]
+        h, c = sincos(fi * pre + pi)
+        pres.append(pre)
+        hs.append(h)
+        coss.append(c)
 
-    for j in range(interleave):
-        dwf_ref[...] += _dot(hs[-1][j], gps[j], ((0,), (0,)), trunk_dtype)
+    dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
     dbf_ref[...] += jnp.sum(g, axis=0, keepdims=True)
-    dhs = [_dot(gp, wf_ref[...], ((1,), (1,)), trunk_dtype) for gp in gps]
+    dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)
 
     for i in reversed(range(n_trunk)):
         lo = i * hidden
         fi = f[lo : lo + hidden]
-        dmods = [dh * c for dh, c in zip(dhs, coss[i])]  # d/d(f*pre + p)
-        for j in range(interleave):
-            dfr_ref[0, 0, lo : lo + hidden] += jnp.sum(
-                dmods[j] * pres[i][j], axis=0
-            )
-            dph_ref[0, 0, lo : lo + hidden] += jnp.sum(dmods[j], axis=0)
-        dzs = [dmod * fi for dmod in dmods]
-        for j in range(interleave):
-            dbs_ref[i] += jnp.sum(dzs[j], axis=0)
+        dmod = dh * coss[i]  # d/d(f*pre + p)
+        dfr_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod * pres[i], axis=0)
+        dph_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod, axis=0)
+        dz = dmod * fi
+        dbs_ref[i] += jnp.sum(dz, axis=0)
         if i == 0:
-            for j in range(interleave):
-                da0_ref[0] += _dot(dps[j], dzs[j], ((0,), (0,)), trunk_dtype)
+            da0_ref[0] += _dot(d, dz, ((0,), (0,)), trunk_dtype)
         else:
-            for j in range(interleave):
-                dws_ref[i - 1] += _dot(
-                    hs[i - 1][j], dzs[j], ((0,), (0,)), trunk_dtype
-                )
-            dhs = [
-                _dot(dz, ws_ref[i - 1], ((1,), (1,)), trunk_dtype)
-                for dz in dzs
-            ]
+            dws_ref[i - 1] += _dot(hs[i - 1], dz, ((0,), (0,)), trunk_dtype)
+            dh = _dot(dz, ws_ref[i - 1], ((1,), (1,)), trunk_dtype)
 
 
 def _film_calls(
@@ -342,7 +286,6 @@ def _film_calls(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
-    interleave: int = 1,
 ):
     """(fwd_call, bwd_call) pallas dispatchers for the fused FiLM trunk:
 
@@ -357,7 +300,6 @@ def _film_calls(
     sine, _ = sine_fns(fast_sine)
     kw = dict(
         n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype, sine=sine,
-        interleave=interleave,
     )
     kw_bwd = {k: v for k, v in kw.items() if k != "sine"}
     kw_bwd["sincos"] = sincos_fns(fast_sine)
@@ -383,7 +325,6 @@ def _film_calls(
         batch, npix = a0.shape[0], d_pad.shape[1]
         tm = min(tile, npix)
         assert npix % tm == 0, (npix, tm)
-        assert tm % interleave == 0, (tm, interleave)
         return pl.pallas_call(
             functools.partial(_film_fwd_kernel, **kw),
             grid=(batch, npix // tm),
@@ -444,13 +385,12 @@ def make_fused_film(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
-    interleave: int = 1,
 ):
     """Fused FiLM decoder trunk (see ``_film_calls`` for the signature).
     Differentiable in everything except d_pad."""
     fwd_call, bwd_call = _film_calls(
         n_trunk, hidden, tile=tile, trunk_dtype=trunk_dtype,
-        interpret=interpret, fast_sine=fast_sine, interleave=interleave,
+        interpret=interpret, fast_sine=fast_sine,
     )
 
     @jax.custom_vjp
@@ -478,7 +418,6 @@ def make_fused_film_sharded(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
-    interleave: int = 1,
 ):
     """The fused FiLM trunk partitioned over the mesh's data/pixel axes —
     same design as ``make_fused_siren_sharded``: per-shard kernel launch
@@ -488,7 +427,7 @@ def make_fused_film_sharded(
 
     fwd_call, bwd_call = _film_calls(
         n_trunk, hidden, tile=tile, trunk_dtype=trunk_dtype,
-        interpret=interpret, fast_sine=fast_sine, interleave=interleave,
+        interpret=interpret, fast_sine=fast_sine,
     )
     dn, px = _mesh_axes(mesh)
     d_spec = P(dn if d_batched else None, px, None)
@@ -539,26 +478,22 @@ def make_fused_film_sharded(
 
 
 @functools.lru_cache(maxsize=16)
-def _get_film_kernel(
-    n_trunk, hidden, tile, trunk, interpret, fast_sine, interleave
-):
+def _get_film_kernel(n_trunk, hidden, tile, trunk, interpret, fast_sine):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_film(
         n_trunk, hidden, tile=tile, trunk_dtype=dtype, interpret=interpret,
-        fast_sine=fast_sine, interleave=interleave,
+        fast_sine=fast_sine,
     )
 
 
 @functools.lru_cache(maxsize=16)
 def _get_film_kernel_sharded(
     mesh, n_trunk, hidden, tile, trunk, interpret, fast_sine, d_batched,
-    interleave,
 ):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_film_sharded(
         mesh, n_trunk, hidden, d_batched=d_batched, tile=tile,
         trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
-        interleave=interleave,
     )
 
 
@@ -598,7 +533,6 @@ def fused_film_apply(
     if reason:
         raise ValueError(f"unsupported shapes for pallas film path: {reason}")
     tm = pick_tile(npix // n_px, tile)
-    interleave = _env_interleave(tm)
 
     parts = encodings.z_parts(equivariance, Z)
     fr, ph = film_lib.apply_mapping_network(
@@ -635,12 +569,11 @@ def fused_film_apply(
     if sharded:
         kernel = _get_film_kernel_sharded(
             mesh, n_trunk, hidden_features, tm, trunk, interpret, fast_sine,
-            d_feats.shape[0] > 1, interleave,
+            d_feats.shape[0] > 1,
         )
     else:
         kernel = _get_film_kernel(
-            n_trunk, hidden_features, tm, trunk, interpret, fast_sine,
-            interleave,
+            n_trunk, hidden_features, tm, trunk, interpret, fast_sine
         )
     out = kernel(d_pad, a0_pad, ws, bs, wf, bf, fr, ph)[..., :out_features]
     if output_activation == "exp":
@@ -660,7 +593,6 @@ def _siren_calls(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
-    interleave: int = 1,
 ):
     """(fwd_call, bwd_call) pallas dispatchers for the fused trunk:
 
@@ -669,15 +601,13 @@ def _siren_calls(
 
     shared by the single-device custom_vjp (``make_fused_siren``) and the
     shard_map-partitioned variant (``make_fused_siren_sharded``), which
-    invokes them per data/pixel shard. ``interleave`` splits each pixel
-    tile into that many independent row groups (identical math, reordered
-    schedule — see _fwd_kernel)."""
+    invokes them per data/pixel shard."""
     from reni_tpu.core.fastmath import sincos_fns, sine_fns
 
     sine, _ = sine_fns(fast_sine)
     kw = dict(
         n_hidden=n_hidden, omega0=omega0, omega_h=omega_h,
-        trunk_dtype=trunk_dtype, sine=sine, interleave=interleave,
+        trunk_dtype=trunk_dtype, sine=sine,
     )
     kw_bwd = {k: v for k, v in kw.items() if k != "sine"}
     kw_bwd["sincos"] = sincos_fns(fast_sine)
@@ -686,7 +616,6 @@ def _siren_calls(
         batch, npix = a.shape[0], d_pad.shape[1]
         tm = min(tile, npix)
         assert npix % tm == 0, (npix, tm)
-        assert tm % interleave == 0, (tm, interleave)
         grid = (batch, npix // tm)
         d_idx = (
             (lambda b, p: (b, p, 0))
@@ -767,7 +696,6 @@ def make_fused_siren(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
-    interleave: int = 1,
 ):
     """Build the fused decoder trunk (see ``_siren_calls`` for signature).
 
@@ -776,7 +704,7 @@ def make_fused_siren(
     fwd_call, bwd_call = _siren_calls(
         n_hidden, hidden, omega0, omega_h,
         tile=tile, trunk_dtype=trunk_dtype, interpret=interpret,
-        fast_sine=fast_sine, interleave=interleave,
+        fast_sine=fast_sine,
     )
 
     @jax.custom_vjp
@@ -817,7 +745,6 @@ def make_fused_siren_sharded(
     trunk_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     fast_sine: bool = False,
-    interleave: int = 1,
 ):
     """The fused trunk partitioned over the mesh's data/pixel axes.
 
@@ -837,7 +764,7 @@ def make_fused_siren_sharded(
     fwd_call, bwd_call = _siren_calls(
         n_hidden, hidden, omega0, omega_h,
         tile=tile, trunk_dtype=trunk_dtype, interpret=interpret,
-        fast_sine=fast_sine, interleave=interleave,
+        fast_sine=fast_sine,
     )
     dn, px = _mesh_axes(mesh)
     d_spec = P(dn if d_batched else None, px, None)
@@ -932,26 +859,23 @@ def pack_inputs(params, equivariance: str, ndims: int, Z, d_feats):
 @functools.lru_cache(maxsize=16)
 def _get_kernel(
     n_hidden, hidden, omega0, omega_h, tile, trunk, interpret, fast_sine,
-    interleave,
 ):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_siren(
         n_hidden, hidden, omega0, omega_h,
         tile=tile, trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
-        interleave=interleave,
     )
 
 
 @functools.lru_cache(maxsize=16)
 def _get_kernel_sharded(
     mesh, n_hidden, hidden, omega0, omega_h, tile, trunk, interpret,
-    fast_sine, d_batched, interleave,
+    fast_sine, d_batched,
 ):
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
     return make_fused_siren_sharded(
         mesh, n_hidden, hidden, omega0, omega_h, d_batched=d_batched,
         tile=tile, trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
-        interleave=interleave,
     )
 
 
@@ -962,17 +886,6 @@ def _env_tile(tile: int) -> int:
     import os
 
     return int(os.environ.get("RENI_TPU_PALLAS_TILE", "0")) or tile
-
-
-def _env_interleave(tm: int) -> int:
-    """RENI_TPU_INTERLEAVE row-group count, clamped to 1 when the row
-    groups would not be whole sublanes — each group (tm // il rows) must be
-    a multiple of the 8-row sublane or Mosaic rejects/relayouts the slices
-    (unset = 1 = the shipped schedule)."""
-    import os
-
-    il = int(os.environ.get("RENI_TPU_INTERLEAVE", "1"))
-    return il if il >= 1 and tm % (8 * il) == 0 else 1
 
 
 def fused_apply(
@@ -1013,7 +926,6 @@ def fused_apply(
     if reason:
         raise ValueError(f"unsupported shapes for pallas path: {reason}")
     tm = pick_tile(npix // n_px, tile)
-    interleave = _env_interleave(tm)
 
     d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad = pack_inputs(
         params, equivariance, ndims, Z, d_feats
@@ -1022,12 +934,12 @@ def fused_apply(
         kernel = _get_kernel_sharded(
             mesh, hidden_layers, hidden_features, first_omega_0,
             hidden_omega_0, tm, trunk, interpret, fast_sine,
-            d_feats.shape[0] > 1, interleave,
+            d_feats.shape[0] > 1,
         )
     else:
         kernel = _get_kernel(
             hidden_layers, hidden_features, first_omega_0, hidden_omega_0,
-            tm, trunk, interpret, fast_sine, interleave,
+            tm, trunk, interpret, fast_sine,
         )
     out = kernel(d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad)[..., :out_features]
     if output_activation == "exp":
@@ -1035,3 +947,347 @@ def fused_apply(
     if output_activation == "tanh":
         return jnp.tanh(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# fused TRAIN-STEP kernel: forward + weighted-MSE loss + full backward in
+# ONE pallas launch
+# ---------------------------------------------------------------------------
+#
+# The r4 bwd anatomy (benchmarks/results/r4/anatomy.json, PERF.md) measured
+# the two-kernel train step as purely ADDITIVE costs: fwd 31.2 ms
+# (matmuls 18.7 + sine 12.5) + bwd 57.4 ms (matmuls-incl-recompute 28.6 +
+# sincos 15.0 + dW/elementwise 13.8) at the saturated batch. The backward
+# already recomputes the whole forward, so running the forward separately
+# (plus the XLA loss/elementwise pass between the kernels, plus the
+# (B, npix, 8) out/g HBM round trips) buys nothing. This kernel computes
+# the FIT_DECODER objective's weighted MSE (reference
+# loss_functions.py:6-13 semantics: mean over pixels*channels per sample,
+# sum over batch) AND every parameter gradient in a single pass:
+#
+# - forward trunk once per tile with the JOINT sincos (the cos chain-rule
+#   factor costs ~0.3x a second sine, vs a full fwd sine + bwd sincos);
+# - output activation, residual, per-lane loss partials, and the output
+#   cotangent g = 2 * (out - tgt) * sw * act'(o) / (npix * C) computed
+#   in-register (no out/g HBM traffic at all);
+# - backward chain exactly as _bwd_kernel.
+#
+# Because the result is a SCALAR, the custom_vjp can compute the gradients
+# in the PRIMAL pass and stash them as residuals — the vjp just scales
+# them by the incoming cotangent. One kernel launch per optimizer step.
+
+
+def _step_kernel(
+    d_ref, a_ref, b0_ref, ws_ref, bs_ref, wf_ref, bf_ref,
+    tgt_ref, sw_ref, bm_ref,
+    mse_ref, da_ref, db0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref,
+    *, n_hidden, omega0, omega_h, trunk_dtype, sincos, out_act, gscale,
+):
+    b = pl.program_id(0)
+    pt = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, pt == 0))
+    def _():
+        mse_ref[...] = jnp.zeros_like(mse_ref)
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+        dbs_ref[...] = jnp.zeros_like(dbs_ref)
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dbf_ref[...] = jnp.zeros_like(dbf_ref)
+
+    @pl.when(pt == 0)
+    def _():
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db0_ref[...] = jnp.zeros_like(db0_ref)
+
+    d = d_ref[0]  # (TM, K_PAD)
+
+    # forward, keeping activations and cos factors in VMEM for the tile
+    h, c = sincos(omega0 * (_matmul(d, a_ref[0], trunk_dtype) + b0_ref[0]))
+    hs, cs = [h], [c]
+    for i in range(n_hidden):
+        h, c = sincos(
+            omega_h * (_matmul(hs[-1], ws_ref[i], trunk_dtype) + bs_ref[i])
+        )
+        hs.append(h)
+        cs.append(c)
+    o = _matmul(hs[-1], wf_ref[...], trunk_dtype) + bf_ref[0]  # (TM, C_PAD)
+
+    if out_act == "tanh":
+        out = jnp.tanh(o)
+        dact = 1.0 - out * out
+    elif out_act == "exp":
+        out = jnp.exp(o)
+        dact = out
+    else:
+        out = o
+        dact = None
+
+    # loss partials + output cotangent (padded lanes carry sw == 0)
+    swm = sw_ref[0] * bm_ref[0]  # (TM, C_PAD) * (1, C_PAD)
+    r = out - tgt_ref[0]
+    rs = r * swm
+    mse_ref[...] += jnp.sum(rs * r, axis=0, keepdims=True)
+    g = (2.0 * gscale) * rs
+    if dact is not None:
+        g = g * dact
+
+    # backward chain (identical to _bwd_kernel)
+    dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
+    dbf_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)
+
+    for i in reversed(range(n_hidden)):
+        dz = dh * (omega_h * cs[i + 1])
+        dws_ref[i] += _dot(hs[i], dz, ((0,), (0,)), trunk_dtype)
+        dbs_ref[i] += jnp.sum(dz, axis=0)
+        dh = _dot(dz, ws_ref[i], ((1,), (1,)), trunk_dtype)
+
+    dz0 = dh * (omega0 * cs[0])
+    da_ref[0] += _dot(d, dz0, ((0,), (0,)), trunk_dtype)
+    db0_ref[0] += jnp.sum(dz0, axis=0)
+
+
+def _step_call_builder(
+    n_hidden: int,
+    hidden: int,
+    omega0: float,
+    omega_h: float,
+    *,
+    out_act: str | None,
+    gscale: float,
+    tile: int = 512,
+    trunk_dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+    fast_sine: bool = False,
+):
+    """step_call(d_pad (B_d, npix, 8), A (B, 8, H), b0 (B, 1, H),
+    Ws (L, H, H), bs (L, H), Wf (H, 8), bf (1, 8), tgt (B, npix, 8),
+    sw (1, npix, 8), bm (B, 1, 8))
+    -> (mse_row (1, 8), dA, db0, dWs, dbs, dWf, dbf)
+
+    mse_row holds per-lane partial sums of (out - tgt)^2 * sw * bm over the
+    whole grid; sum(mse_row) * gscale is the reference weighted_mse. The
+    gradients correspond to that scaled loss (gscale baked into g)."""
+    from reni_tpu.core.fastmath import sincos_fns
+
+    kw = dict(
+        n_hidden=n_hidden, omega0=omega0, omega_h=omega_h,
+        trunk_dtype=trunk_dtype, sincos=sincos_fns(fast_sine),
+        out_act=out_act, gscale=gscale,
+    )
+
+    def step_call(d_pad, a, b0, ws, bs, wf, bf, tgt, sw, bm):
+        batch, npix = a.shape[0], d_pad.shape[1]
+        tm = min(tile, npix)
+        assert npix % tm == 0, (npix, tm)
+        grid = (batch, npix // tm)
+        d_idx = (
+            (lambda b, p: (b, p, 0))
+            if d_pad.shape[0] > 1
+            else (lambda b, p: (0, p, 0))
+        )
+        return pl.pallas_call(
+            functools.partial(_step_kernel, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tm, K_PAD), d_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tm, C_PAD), lambda b, p: (0, p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, C_PAD), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, C_PAD), lambda b, p: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, C_PAD), jnp.float32),
+                jax.ShapeDtypeStruct(a.shape, jnp.float32),
+                jax.ShapeDtypeStruct(b0.shape, jnp.float32),
+                jax.ShapeDtypeStruct(ws.shape, jnp.float32),
+                jax.ShapeDtypeStruct(bs.shape, jnp.float32),
+                jax.ShapeDtypeStruct(wf.shape, jnp.float32),
+                jax.ShapeDtypeStruct(bf.shape, jnp.float32),
+            ),
+            interpret=interpret,
+        )(d_pad, a, b0, ws, bs, wf, bf, tgt, sw, bm)
+
+    return step_call
+
+
+def _wrap_step_vjp(step_call, gscale: float):
+    """custom_vjp around a (possibly shard_mapped) step_call: the primal
+    pass already computed every gradient (scalar-valued function), so the
+    vjp just scales the stashed residuals by the incoming cotangent."""
+
+    @jax.custom_vjp
+    def fused(d_pad, a, b0, ws, bs, wf, bf, tgt, sw, bm):
+        mse_row = step_call(d_pad, a, b0, ws, bs, wf, bf, tgt, sw, bm)[0]
+        return jnp.sum(mse_row) * gscale
+
+    def fused_fwd(d_pad, a, b0, ws, bs, wf, bf, tgt, sw, bm):
+        mse_row, da, db0, dws, dbs, dwf, dbf = step_call(
+            d_pad, a, b0, ws, bs, wf, bf, tgt, sw, bm
+        )
+        res = (da, db0, dws, dbs, dwf, dbf, d_pad, tgt, sw, bm)
+        return jnp.sum(mse_row) * gscale, res
+
+    def fused_bwd(res, ct):
+        da, db0, dws, dbs, dwf, dbf, d_pad, tgt, sw, bm = res
+        # targets/weights/mask cotangents are structurally required but
+        # unused (constants per step); XLA dead-code-eliminates the zeros
+        return (
+            jnp.zeros_like(d_pad),
+            ct * da, ct * db0, ct * dws, ct * dbs, ct * dwf, ct * dbf,
+            jnp.zeros_like(tgt), jnp.zeros_like(sw), jnp.zeros_like(bm),
+        )
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=16)
+def _get_step_kernel(
+    n_hidden, hidden, omega0, omega_h, tile, trunk, interpret, fast_sine,
+    out_act, gscale,
+):
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
+    call = _step_call_builder(
+        n_hidden, hidden, omega0, omega_h, out_act=out_act, gscale=gscale,
+        tile=tile, trunk_dtype=dtype, interpret=interpret,
+        fast_sine=fast_sine,
+    )
+    return _wrap_step_vjp(call, gscale)
+
+
+@functools.lru_cache(maxsize=16)
+def _get_step_kernel_sharded(
+    mesh, n_hidden, hidden, omega0, omega_h, tile, trunk, interpret,
+    fast_sine, out_act, gscale, d_batched,
+):
+    """The fused train-step partitioned over the mesh's data/pixel axes:
+    per-shard kernel under shard_map; weight grads and the loss partial
+    psum over data+pixel, per-image grads (A, b0) over 'pixel' only —
+    same collective plan as make_fused_siren_sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
+    call = _step_call_builder(
+        n_hidden, hidden, omega0, omega_h, out_act=out_act, gscale=gscale,
+        tile=tile, trunk_dtype=dtype, interpret=interpret,
+        fast_sine=fast_sine,
+    )
+    dn, px = _mesh_axes(mesh)
+    d_spec = P(dn if d_batched else None, px, None)
+    per_image = P(dn)
+    rep = P()
+    in_specs = (
+        d_spec, per_image, per_image, rep, rep, rep, rep,
+        P(dn, px, None),  # targets: batch rows x pixel shards
+        P(None, px, None),  # sineweight: shared across batch
+        per_image,  # bmask row
+    )
+    both = tuple(ax for ax in (dn, px) if ax is not None)
+
+    def inner(d_pad, a, b0, ws, bs, wf, bf, tgt, sw, bm):
+        mse_row, da, db0, dws, dbs, dwf, dbf = call(
+            d_pad, a, b0, ws, bs, wf, bf, tgt, sw, bm
+        )
+        if px is not None:
+            da = jax.lax.psum(da, px)
+            db0 = jax.lax.psum(db0, px)
+        if both:
+            mse_row, dws, dbs, dwf, dbf = (
+                jax.lax.psum(x, both) for x in (mse_row, dws, dbs, dwf, dbf)
+            )
+        return mse_row, da, db0, dws, dbs, dwf, dbf
+
+    sm = jax.shard_map(
+        inner, mesh=mesh, in_specs=in_specs,
+        out_specs=(rep, per_image, per_image, rep, rep, rep, rep),
+        check_vma=False,
+    )
+    return _wrap_step_vjp(sm, gscale)
+
+
+def fused_step_mse(
+    params,
+    equivariance: str,
+    ndims: int,
+    Z,
+    D,
+    targets,
+    sineweight,
+    bmask,
+    *,
+    hidden_layers: int,
+    hidden_features: int,
+    out_features: int,
+    first_omega_0: float,
+    hidden_omega_0: float,
+    output_activation: str | None,
+    tile: int = 512,
+    trunk: str = "bfloat16",
+    interpret: bool | None = None,
+    fast_sine: bool = False,
+):
+    """The FIT_DECODER objective's weighted MSE through the single-launch
+    train-step kernel: exactly
+    ``losses.weighted_mse(act(decode(Z, D)), targets, sineweight * bmask)``
+    (reference loss_functions.py:6-13 reduction), differentiable w.r.t. Z
+    and every decoder parameter. targets (B, npix, C), sineweight
+    (1, npix, C), bmask (B,). One pallas launch computes the value AND all
+    gradients (see _step_kernel header)."""
+    from reni_tpu.core import encodings
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile = _env_tile(tile)
+    d_feats = encodings.d_features(equivariance, D)  # (B_d, npix, k)
+    npix = d_feats.shape[1]
+    mesh, n_px, sharded = _kernel_mesh_info()
+    reason = unsupported_reason(
+        npix, hidden_features, batch=Z.shape[0], tile=tile, mesh=mesh
+    )
+    if reason:
+        raise ValueError(f"unsupported shapes for pallas step path: {reason}")
+    tm = pick_tile(npix // n_px, tile)
+
+    d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad = pack_inputs(
+        params, equivariance, ndims, Z, d_feats
+    )
+    c = targets.shape[-1]
+    tgt = jnp.pad(targets, ((0, 0), (0, 0), (0, C_PAD - c)))
+    sw = jnp.pad(sineweight, ((0, 0), (0, 0), (0, C_PAD - sineweight.shape[-1])))
+    bm = jnp.broadcast_to(
+        bmask[:, None, None].astype(jnp.float32),
+        (bmask.shape[0], 1, C_PAD),
+    )
+    # weighted_mse = sum(se * sw) / (pixels * channels per sample); the
+    # denominator uses GLOBAL npix (shards hold partials) and the REAL
+    # channel count (padded lanes carry zero weight)
+    gscale = 1.0 / float(npix * out_features)
+
+    if sharded:
+        kernel = _get_step_kernel_sharded(
+            mesh, hidden_layers, hidden_features, first_omega_0,
+            hidden_omega_0, tm, trunk, interpret, fast_sine,
+            output_activation, gscale, d_feats.shape[0] > 1,
+        )
+    else:
+        kernel = _get_step_kernel(
+            hidden_layers, hidden_features, first_omega_0, hidden_omega_0,
+            tm, trunk, interpret, fast_sine, output_activation, gscale,
+        )
+    return kernel(d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad, tgt, sw, bm)

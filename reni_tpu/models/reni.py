@@ -341,6 +341,52 @@ class RENIModel:
             fast_sine=cfg.fast_sine,
         )
 
+    def fused_step_reason(self, batch: int, npix: int) -> str | None:
+        """Why the single-launch train-step kernel (fused forward + loss +
+        backward, kernels.siren_pallas.fused_step_mse) cannot serve this
+        workload — None means it can. Static-shape decision: step builders
+        call this at trace time."""
+        cfg = self.config
+        if not cfg.use_pallas:
+            return "TPU.USE_PALLAS off"
+        if cfg.is_film:
+            return "FiLM trunk uses the two-kernel fused path"
+        if not cfg.last_layer_linear:
+            return "last_layer_linear=False uses the XLA path"
+        from reni_tpu.kernels.siren_pallas import unsupported_reason
+
+        return unsupported_reason(npix, cfg.hidden_features, batch=batch)
+
+    def fused_train_mse(
+        self, params: Params, Z, D, targets, sineweight, bmask
+    ) -> jnp.ndarray:
+        """``losses.weighted_mse(self.apply(params, Z, D), targets,
+        sineweight * bmask)`` through the single-launch train-step kernel
+        (value and every gradient in one pallas dispatch; see
+        kernels.siren_pallas._step_kernel). Callers must have checked
+        ``fused_step_reason`` is None."""
+        cfg = self.config
+        from reni_tpu.kernels.siren_pallas import fused_step_mse
+
+        return fused_step_mse(
+            params["decoder"],
+            cfg.equivariance,
+            cfg.latent_dim,
+            Z,
+            D,
+            targets,
+            sineweight,
+            bmask,
+            hidden_layers=cfg.hidden_layers,
+            hidden_features=cfg.hidden_features,
+            out_features=cfg.out_features,
+            first_omega_0=cfg.first_omega_0,
+            hidden_omega_0=cfg.hidden_omega_0,
+            output_activation=cfg.output_activation,
+            trunk=cfg.pallas_trunk,
+            fast_sine=cfg.fast_sine,
+        )
+
     def apply_concat(self, params: Params, Z, D) -> jnp.ndarray:
         """Reference-parity forward that materialises the concat encoding.
         Used by tests to validate the decomposed path; O(npix * N^2) memory."""

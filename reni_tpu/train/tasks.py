@@ -199,13 +199,31 @@ def make_fit_decoder_step(
     *,
     kld_weighting: float,
 ) -> Callable:
-    """One FIT_DECODER update. Batch = (imgs (B, P, 3), idx (B,), bmask (B,))."""
+    """One FIT_DECODER update. Batch = (imgs (B, P, 3), idx (B,), bmask (B,)).
+
+    On the Pallas path (TPU.USE_PALLAS, Cond-by-Concat) the whole
+    objective's MSE term runs through the single-launch train-step kernel
+    (model.fused_train_mse: forward + loss + backward in ONE dispatch —
+    the r4 anatomy measured the two-kernel step as purely additive fwd +
+    recompute-bwd cost, so fusing removes the standalone forward and half
+    the transcendental work); the KLD term stays in XLA (tiny, per-image).
+    Loss semantics are identical to the XLA path (same weighted_mse
+    reduction, pinned by tests)."""
     cfg = model.config
     z_dims = 3 * cfg.latent_dim
 
     def step(state: TrainState, batch):
         imgs, idx, bmask = batch
         key, sample_key = jax.random.split(state.key)
+        # static-shape trace-time dispatch (shapes fix the path per program)
+        reason = model.fused_step_reason(imgs.shape[0], directions.shape[1])
+        if reason is None:
+            from reni_tpu.models.reni import _mesh_suffix, _note_trunk_path
+
+            _note_trunk_path(
+                f"fused Pallas train step{_mesh_suffix()} for "
+                f"B={imgs.shape[0]}, npix={directions.shape[1]}"
+            )
         sw = sineweight * bmask[:, None, None]
 
         def loss_fn(trainable):
@@ -214,14 +232,27 @@ def make_fit_decoder_step(
                 Z, mu, log_var = model.sample_latent(params, idx, sample_key)
                 mu = mu * bmask[:, None, None]
                 log_var = log_var * bmask[:, None, None]
-                out = model.apply(params, Z, directions)
-                loss, mse, kl = losses.reni_vad_train_loss(
-                    out, imgs, sw, mu, log_var, beta=kld_weighting, z_dims=z_dims
-                )
+                if reason is None:
+                    mse = model.fused_train_mse(
+                        params, Z, directions, imgs, sineweight, bmask
+                    )
+                    kl = kld_weighting * losses.kld(mu, log_var, z_dims)
+                    loss = mse + kl
+                else:
+                    out = model.apply(params, Z, directions)
+                    loss, mse, kl = losses.reni_vad_train_loss(
+                        out, imgs, sw, mu, log_var,
+                        beta=kld_weighting, z_dims=z_dims,
+                    )
                 return loss, {"loss": loss, "mse_loss": mse, "kld_loss": kl}
             Z = params["latents"]["Z"][idx]
-            out = model.apply(params, Z, directions)
-            loss = losses.reni_train_loss(out, imgs, sw)
+            if reason is None:
+                loss = model.fused_train_mse(
+                    params, Z, directions, imgs, sineweight, bmask
+                )
+            else:
+                out = model.apply(params, Z, directions)
+                loss = losses.reni_train_loss(out, imgs, sw)
             return loss, {"loss": loss}
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.trainable)

@@ -317,86 +317,163 @@ def test_fused_apply_per_image_direction_grids():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("interleave", [2, 4])
-def test_fused_interleave_matches_jnp(interleave, monkeypatch):
-    """RENI_TPU_INTERLEAVE is a pure schedule change: each pixel tile is
-    processed as independent row groups (see _fwd_kernel) — forward and
-    gradients must match the jnp path like the interleave=1 default."""
-    monkeypatch.setenv("RENI_TPU_INTERLEAVE", str(interleave))
-    model, params, Z, D = _setup()
-    ref = np.asarray(model.apply(params, Z, D))
-    out = np.asarray(_pallas(model, params, Z, D))
-    np.testing.assert_allclose(out, ref, atol=1e-5)
+def test_env_tile_override(monkeypatch):
+    """RENI_TPU_PALLAS_TILE caps the tile (on-chip A/B sweeps)."""
+    from reni_tpu.kernels.siren_pallas import _env_tile
 
-    def loss_p(dec, z):
-        return jnp.sum(
-            _pallas(model, {"decoder": dec, "latents": params["latents"]}, z, D) ** 2
-        )
-
-    def loss_r(dec, z):
-        return jnp.sum(
-            model.apply({"decoder": dec, "latents": params["latents"]}, z, D) ** 2
-        )
-
-    gp = jax.grad(loss_p, argnums=(0, 1))(params["decoder"], Z)
-    gr = jax.grad(loss_r, argnums=(0, 1))(params["decoder"], Z)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=5e-5, atol=2e-5
-        ),
-        gp,
-        gr,
-    )
-
-
-def test_fused_interleave_env_clamped(monkeypatch):
-    """An interleave whose row groups would not be whole 8-row sublanes
-    falls back to 1 (never crashes); RENI_TPU_PALLAS_TILE caps the tile."""
-    from reni_tpu.kernels.siren_pallas import _env_interleave, _env_tile
-
-    monkeypatch.setenv("RENI_TPU_INTERLEAVE", "3")
-    assert _env_interleave(256) == 1
-    monkeypatch.setenv("RENI_TPU_INTERLEAVE", "4")
-    assert _env_interleave(256) == 4
-    # divides the tile but the 100-row groups are not sublane-aligned
-    assert _env_interleave(400) == 1
-    monkeypatch.setenv("RENI_TPU_INTERLEAVE", "2")
-    assert _env_interleave(400) == 2  # 200-row groups: aligned
     monkeypatch.setenv("RENI_TPU_PALLAS_TILE", "128")
     assert _env_tile(512) == 128
     monkeypatch.delenv("RENI_TPU_PALLAS_TILE")
     assert _env_tile(512) == 512
 
 
-@pytest.mark.parametrize("interleave", [2, 4])
-def test_fused_film_interleave_matches_jnp(interleave, monkeypatch):
-    """RENI_TPU_INTERLEAVE applies to the FiLM trunk too (same row-group
-    schedule as the cbc kernel) — forward and gradients must match jnp."""
-    monkeypatch.setenv("RENI_TPU_INTERLEAVE", str(interleave))
-    model, params, Z, D = _setup_film()
-    ref = np.asarray(model.apply(params, Z, D))
-    out = np.asarray(_pallas_film(model, params, Z, D))
-    np.testing.assert_allclose(out, ref, atol=1e-5)
 
-    def loss_p(dec, z):
-        return jnp.sum(
-            _pallas_film(
-                model, {"decoder": dec, "latents": params["latents"]}, z, D
-            )
-            ** 2
-        )
 
-    def loss_r(dec, z):
-        return jnp.sum(
-            model.apply({"decoder": dec, "latents": params["latents"]}, z, D) ** 2
-        )
+# ---------------------------------------------------------------------------
+# single-launch train-step kernel (fused_step_mse)
+# ---------------------------------------------------------------------------
 
-    gp = jax.grad(loss_p, argnums=(0, 1))(params["decoder"], Z)
-    gr = jax.grad(loss_r, argnums=(0, 1))(params["decoder"], Z)
+
+def _step_mse(model, params, Z, D, tgt, sw, bm, trunk="float32"):
+    from reni_tpu.kernels.siren_pallas import fused_step_mse
+
+    cfg = model.config
+    return fused_step_mse(
+        params["decoder"],
+        cfg.equivariance,
+        cfg.latent_dim,
+        Z,
+        D,
+        tgt,
+        sw,
+        bm,
+        hidden_layers=cfg.hidden_layers,
+        hidden_features=cfg.hidden_features,
+        out_features=cfg.out_features,
+        first_omega_0=cfg.first_omega_0,
+        hidden_omega_0=cfg.hidden_omega_0,
+        output_activation=cfg.output_activation,
+        trunk=trunk,
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize("act", ["tanh", "exp", None])
+@pytest.mark.parametrize("equiv", ["SO2", "SO3"])
+def test_fused_step_loss_and_grads_match_reference(equiv, act):
+    """fused_step_mse == losses.weighted_mse(model.apply(...), tgt,
+    sw * bmask) — value AND gradients w.r.t. Z and every decoder param,
+    including a zero-masked ragged row."""
+    from reni_tpu.train import losses
+
+    model, params, Z, D = _setup(equiv=equiv, act=act)
+    rng = np.random.default_rng(7)
+    B, P = Z.shape[0], D.shape[1]
+    scale = 0.02 if act == "exp" else 1.0  # keep exp well-conditioned
+    tgt = jnp.asarray(rng.normal(size=(B, P, 3)).astype(np.float32))
+    sw = jnp.asarray(np.abs(rng.normal(size=(1, P, 3))).astype(np.float32))
+    bm = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)  # ragged tail row
+
+    def loss_fused(dec, z):
+        p = {"decoder": dec, "latents": params["latents"]}
+        return _step_mse(model, p, z * scale, D, tgt, sw, bm)
+
+    def loss_ref(dec, z):
+        p = {"decoder": dec, "latents": params["latents"]}
+        out = model.apply(p, z * scale, D)
+        return losses.weighted_mse(out, tgt, sw * bm[:, None, None])
+
+    lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))(
+        params["decoder"], Z
+    )
+    lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        params["decoder"], Z
+    )
+    np.testing.assert_allclose(float(lf), float(lr), rtol=2e-6)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=5e-5, atol=2e-5
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6
         ),
-        gp,
+        gf,
         gr,
     )
+
+
+def test_fused_step_cotangent_scaling():
+    """The vjp must scale by the incoming cotangent (loss = c * mse + ...)."""
+    model, params, Z, D = _setup()
+    rng = np.random.default_rng(3)
+    B, P = Z.shape[0], D.shape[1]
+    tgt = jnp.asarray(rng.normal(size=(B, P, 3)).astype(np.float32))
+    sw = jnp.ones((1, P, 3), jnp.float32)
+    bm = jnp.ones((B,), jnp.float32)
+
+    g1 = jax.grad(lambda z: _step_mse(model, params, z, D, tgt, sw, bm))(Z)
+    g3 = jax.grad(
+        lambda z: 3.0 * _step_mse(model, params, z, D, tgt, sw, bm)
+    )(Z)
+    np.testing.assert_allclose(np.asarray(g3), 3.0 * np.asarray(g1), rtol=1e-5)
+
+
+def test_fit_decoder_step_fused_matches_xla_path():
+    """make_fit_decoder_step must produce the same losses and updated
+    params whether the fused step kernel serves the MSE or the XLA path
+    does (trace-time dispatch on fused_step_reason) — for both VAD and AD,
+    with a ragged masked tail."""
+    import dataclasses as dc
+
+    from reni_tpu.core import sphere
+    from reni_tpu.train import tasks
+    from reni_tpu.train.optim import OptimConfig, build_optimizer
+
+    for model_type in ("VariationalAutoDecoder", "AutoDecoder"):
+        cfg = RENIConfig(
+            model_type=model_type,
+            equivariance="SO2",
+            latent_dim=5,
+            hidden_layers=2,
+            hidden_features=128,
+            output_activation="tanh",
+            use_pallas=True,  # interpret-mode kernel on CPU
+            pallas_trunk="float32",
+        )
+        model = RENIModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), dataset_size=5)
+        directions = sphere.get_directions(32)
+        sineweight = sphere.get_sineweight(32)
+        optimizer = build_optimizer(
+            OptimConfig(lr_start=1e-4, lr_end=1e-5, epochs=4, steps_per_epoch=1)
+        )
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(
+            rng.normal(size=(4, directions.shape[1], 3)).astype(np.float32)
+        )
+        batch = (
+            imgs,
+            jnp.asarray([0, 1, 2, 0], jnp.int32),
+            jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
+        )
+
+        step_fused = tasks.make_fit_decoder_step(
+            model, optimizer, directions, sineweight, kld_weighting=1e-4
+        )
+        model_xla = RENIModel(dc.replace(cfg, use_pallas=False))
+        step_xla = tasks.make_fit_decoder_step(
+            model_xla, optimizer, directions, sineweight, kld_weighting=1e-4
+        )
+        st = tasks.init_train_state(
+            model, params, optimizer, jax.random.PRNGKey(1)
+        )
+        sf, mf = step_fused(st, batch)
+        sx, mx = step_xla(st, batch)
+        for k in mf:
+            np.testing.assert_allclose(
+                float(mf[k]), float(mx[k]), rtol=5e-5, err_msg=(model_type, k)
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            sf.trainable,
+            sx.trainable,
+        )
