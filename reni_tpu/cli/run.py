@@ -58,6 +58,30 @@ from reni_tpu.utils.config import experiment_name, get_cfg_defaults
 
 _PROGRESS = {"ts": time.time(), "what": "startup"}
 
+# fault-history events appended to the run's metrics.jsonl (host 0 only):
+# retries, relaunch adoptions, hang exits, chip yields — so a chain's own
+# log reports how many faults it survived and where (VERDICT r4 #7). The
+# path is registered once main() knows the run dir; events before that
+# (or on non-primary hosts) are dropped.
+_EVENT_LOG = {"path": None}
+
+
+def _log_event(event: str, **fields) -> None:
+    path = _EVENT_LOG["path"]
+    if not path:
+        return
+    import json as _json
+    from datetime import datetime, timezone
+
+    rec = {"event": event,
+           "time": datetime.now(timezone.utc).isoformat(timespec="seconds")}
+    rec.update(fields)
+    try:
+        with open(path, "a") as f:
+            f.write(_json.dumps(rec) + "\n")
+    except OSError:
+        pass  # fault logging must never take the trainer down
+
 
 def _note_progress(what: str) -> None:
     _PROGRESS["ts"] = time.time()
@@ -76,6 +100,9 @@ def _arm_hang_watchdog() -> None:
             time.sleep(min(hang_s / 4, 60.0))
             idle = time.time() - _PROGRESS["ts"]
             if idle > hang_s:
+                _log_event(
+                    "hang_exit", idle_s=round(idle), last=_PROGRESS["what"]
+                )
                 print(
                     f"[reni_tpu] HANG: no trainer progress for {idle:.0f}s "
                     f"(> RENI_TPU_HANG_EXIT_S={hang_s:.0f}); last progress: "
@@ -300,6 +327,34 @@ def run_task(
     else:
         stage_images_at = dataset.images_at
 
+    # wedge-survival checkpoint cadence (VERDICT r4 #7): beyond the
+    # every-N-epochs schedule, force a save (a) at each curriculum stage
+    # end — a wedge during the next stage's long Mosaic compile must not
+    # re-lose the finished stage — and (b) whenever RENI_TPU_CKPT_WALL_S
+    # seconds of wall clock passed since the last save (0/unset = off; the
+    # chip queues set it). The wall decision is host-0's (collective), so
+    # multi-host fetch_tree collectives stay paired.
+    wall_save_s = float(os.environ.get("RENI_TPU_CKPT_WALL_S", "0") or 0)
+    last_save_t = [time.monotonic()]
+    stage_ends, _off = set(), 0
+    for _r, _n in task_cfg.resolution_stages():
+        _off += _n
+        stage_ends.add(_off)
+
+    def _save_due(epoch: int) -> bool:
+        from reni_tpu.parallel import multihost
+
+        due = (
+            epoch % every == 0
+            or epoch in stage_ends
+            or (
+                wall_save_s > 0
+                and time.monotonic() - last_save_t[0] > wall_save_s
+            )
+        )
+        # epoch-based terms are config-deterministic; the wall term is not
+        return multihost.agree_on_flag(due)
+
     def callback(state_now, epoch, metrics_chunk, res):
         params_now = state_now.params
         loss = float(np.asarray(metrics_chunk["loss"])[-1])
@@ -310,22 +365,26 @@ def run_task(
         }
         logged[f"{task.lower()}_lr"] = float(lr_schedule(epoch - 1))
         logger.log_scalars(epoch, logged)
-        if config.TRAINER.CHKPTS.SAVE and epoch % every == 0:
+        saved_here = False
+        if config.TRAINER.CHKPTS.SAVE and _save_due(epoch):
             tracker.maybe_save(
                 params_now, epoch, loss,
                 opt_state=state_now.opt_state, rng_key=state_now.key,
             )
+            last_save_t[0] = time.monotonic()
+            saved_here = True
         if _deadline_reached(deadline):
             # TRAINER.MAX_RUNTIME exceeded: stop cleanly after this segment
             # (the reference declares this knob but never reads it)
             return True
         if _yield_requested(stop_file):
-            if config.TRAINER.CHKPTS.SAVE and epoch % every != 0:
+            if config.TRAINER.CHKPTS.SAVE and not saved_here:
                 # off-schedule force-save so the yield loses zero epochs
                 tracker.maybe_save(
                     params_now, epoch, loss,
                     opt_state=state_now.opt_state, rng_key=state_now.key,
                 )
+            _log_event("chip_yield", task=task, epoch=epoch)
             chiplock.honor_yield(
                 stop_file, primary=primary, what=f"{task} trainer"
             )
@@ -566,6 +625,10 @@ def main(config, mesh=None, resume=None, log_dir=None, profile_dir=None):
         wandb_cfg = dict(config.TRAINER.LOGGER.WANDB)
         wandb_cfg["run_config"] = config.to_dict()
     logger = MetricLogger(log_dir, wandb_config=wandb_cfg, enabled=primary)
+    if primary:
+        # fault-history events (retries/hangs/yields) land in the same
+        # metrics.jsonl so a chain's log reports what it survived
+        _EVENT_LOG["path"] = os.path.join(log_dir, "metrics.jsonl")
     if primary:
         # resolved-config record (the reference keeps hyper_parameters in
         # every Lightning ckpt); also the identity check gating relaunch
@@ -818,6 +881,14 @@ def _run_with_retries_locked(config, mesh=None, resume=None, retries: int = 0,
                 f"resume={resume} load_path={load_path}",
                 flush=True,
             )
+            if multihost.is_primary():
+                # a fresh process adopting an incomplete run means the
+                # previous attempt hard-exited (wedge 114 / yield 115 /
+                # kill) — record the restart in the run's own log
+                _EVENT_LOG["path"] = os.path.join(log_dir, "metrics.jsonl")
+                _log_event(
+                    "relaunch_adopt", tasks=tasks_list, resume=resume
+                )
     if log_dir is None:
         log_dir = multihost.agree_on_path(_new_log_dir(config))
     attempt = 0
@@ -868,6 +939,9 @@ def _run_with_retries_locked(config, mesh=None, resume=None, retries: int = 0,
                 f"[retry {attempt}/{retries}] resuming tasks={tasks_list} "
                 f"resume={resume} load_path={load_path}",
                 flush=True,
+            )
+            _log_event(
+                "retry", attempt=attempt, tasks=tasks_list, resume=resume
             )
 
 

@@ -925,16 +925,50 @@ def fit_task(
             )
             all_metrics.append(metrics)
         else:
+            # wall-adaptive segmentation (RENI_TPU_CKPT_WALL_S, 0 = off):
+            # cap each segment so callbacks (checkpoints, yield checks)
+            # fire at least every ~target seconds of wall clock, however
+            # slow the epochs are — a wedged worker then re-loses bounded
+            # wall time, not EVERY_N_EPOCHS of arbitrarily long epochs
+            # (VERDICT r4 #7). Segment lengths quantize to powers of two
+            # so the resident whole-stage scan compiles a bounded set of
+            # static lengths; multi-host runs adopt host 0's choice (every
+            # process must dispatch identical programs).
+            import os as _os
+            import time as _time
+
+            wall_target = float(
+                _os.environ.get("RENI_TPU_CKPT_WALL_S", "0") or 0
+            )
             done = 0
+            # with a wall target, the FIRST segment of a stage is the
+            # vulnerable window (epoch speed unknown yet — a 64x128 ->
+            # 256x512 curriculum jump can be 16x slower): start at 1
+            # epoch to measure, then adapt up
+            seg = 1 if wall_target else min(callback_every, n_epochs)
             while done < n_epochs:
-                seg = min(callback_every, n_epochs - done)
+                seg = min(seg, n_epochs - done)
+                t0 = _time.monotonic()
                 state, metrics = stage_runner(
                     step_fn, state, images, seg, batch_size
                 )
                 done += seg
                 all_metrics.append(metrics)
-                # a truthy return requests early stop (e.g. MAX_RUNTIME)
+                # a truthy return requests early stop (e.g. MAX_RUNTIME);
+                # the callback also forces device sync (reads metrics), so
+                # the wall measurement below covers the segment's compute
                 stop = bool(callback(state, epoch_offset + done, metrics, res))
+                if wall_target and done < n_epochs:
+                    dt = _time.monotonic() - t0
+                    ideal = max(1, int(wall_target / max(dt / seg, 1e-9)))
+                    q = 1
+                    while q * 2 <= ideal:
+                        q *= 2
+                    seg = min(callback_every, q)
+                    if jax.process_count() > 1:
+                        from reni_tpu.parallel import multihost
+
+                        seg = int(multihost.agree_on_str(str(seg)))
                 if stop:
                     break
         if on_stage_end is not None:

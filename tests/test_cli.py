@@ -474,3 +474,62 @@ def test_cli_chain_with_stream_data(tmp_path, tiny_dataset):
     # artifacts exist as usual
     ckpt_dir = os.path.join(log_dir, "checkpoints")
     assert os.path.exists(os.path.join(ckpt_dir, "fit_latent_final.npz"))
+
+
+def test_retry_event_logged_in_metrics_jsonl(tmp_path, tiny_dataset, monkeypatch):
+    """Fault history lands in the run's own metrics.jsonl: a crash retry
+    appends a {"event": "retry"} record (VERDICT r4 #7 — chains report
+    what they survived)."""
+    import json as _json
+
+    import reni_tpu.cli.run as R
+
+    real_run_task = R.run_task
+    crashed = {"done": False}
+
+    def flaky_run_task(config, task, *a, **k):
+        if task == "FIT_LATENT" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated TPU worker crash")
+        return real_run_task(config, task, *a, **k)
+
+    monkeypatch.setattr(R, "run_task", flaky_run_task)
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    results, log_dir = R.run_with_retries(cfg, retries=2)
+    events = [
+        _json.loads(l)
+        for l in open(os.path.join(log_dir, "metrics.jsonl"))
+        if '"event"' in l
+    ]
+    retries = [e for e in events if e["event"] == "retry"]
+    assert retries and retries[0]["attempt"] == 1
+    assert retries[0]["tasks"] == ["FIT_LATENT"]
+
+
+def test_wall_clock_checkpoint_cadence(tmp_path, tiny_dataset, monkeypatch):
+    """RENI_TPU_CKPT_WALL_S: with a tiny wall target, every segment's
+    callback saves (epoch-off-schedule included) and segments shrink —
+    a wedge can then lose only ~target seconds of work. Also pins the
+    stage-end force-save (curriculum jump at epoch 6 with EVERY_N=5:
+    6 % 5 != 0 yet a checkpoint at epoch 6 must exist)."""
+    import json as _json
+
+    import reni_tpu.cli.run as R
+
+    monkeypatch.setenv("RENI_TPU_CKPT_WALL_S", "0.0001")
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    cfg.RENI.TASKS = ["FIT_DECODER"]
+    cfg.TRAINER.CHKPTS.EVERY_N_EPOCHS = 5  # curriculum jump (6) is off-grid
+    results, log_dir = R.main(cfg)
+    cks = sorted(os.listdir(os.path.join(log_dir, "checkpoints")))
+    # stage end (epoch 6) saved although 6 % 5 != 0
+    assert any("fit_decoder_epoch=0006" in c for c in cks), cks
+    # wall cadence shrank the segments: callbacks (scalar records) fire
+    # every epoch instead of every 5 — a wedge loses ~wall seconds, not
+    # EVERY_N_EPOCHS of arbitrarily slow epochs
+    epochs = {
+        r["step"]
+        for r in map(_json.loads, open(os.path.join(log_dir, "metrics.jsonl")))
+        if "fit_decoder_loss" in r
+    }
+    assert len(epochs) >= 10, sorted(epochs)  # every-5 alone gives 3
