@@ -116,6 +116,14 @@ timed("resident", lambda st, e: tasks.run_stage(step_fn, st, imgs_dev, e, B))
 run1 = tasks.streaming_stage_runner()
 timed("stream_chunk1", lambda st, e: run1(step_fn, st, images, e, B))
 
+# TPU.STREAM_DTYPE=bfloat16: half the transfer bytes — the streaming
+# tiers are tunnel-ingest-bound (~40 ms of pipeline stall per MB, r5
+# stall profile), so this tier's ceiling is 2x the f32 tiers'. Its loss
+# differs at bf16 target quantization, so it is excluded from the
+# exact-equality assert below.
+runb = tasks.streaming_stage_runner(stream_dtype=jnp.bfloat16)
+timed("stream_bf16", lambda st, e: runb(step_fn, st, images, e, B))
+
 for K in (8, nb):
     runk = tasks.streaming_stage_runner(chunk=K)
     timed(f"stream_chunk{K}", lambda st, e: runk(step_fn, st, images, e, B))
@@ -149,10 +157,17 @@ if not args.skip_disk:
     rundk = tasks.streaming_stage_runner(chunk=8)
     timed("stream_from_disk_chunk8", lambda st, e: rundk(step_fn, st, src, e, B))
 
-losses = {k: v["final_loss"] for k, v in results.items() if isinstance(v, dict) and "final_loss" in v}
+losses = {
+    k: v["final_loss"]
+    for k, v in results.items()
+    if isinstance(v, dict) and "final_loss" in v and k != "stream_bf16"
+}
 assert len(set(np.float32(v) for v in losses.values())) <= 1, (
     f"tiers diverged: {losses}"  # identical batches => identical losses
 )
+if "stream_bf16" in results:  # quantized targets: close, not equal
+    ref = next(iter(losses.values()))
+    assert abs(results["stream_bf16"]["final_loss"] - ref) < 0.02 * abs(ref) + 1e-3
 
 with open("/tmp/stream_bench.json", "w") as f:
     json.dump(results, f, indent=1)

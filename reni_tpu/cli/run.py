@@ -30,6 +30,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from reni_tpu.data.datasets import get_dataset
@@ -302,6 +303,16 @@ def run_task(
     stream_chunk = int(config.TPU.get("STREAM_CHUNK", 1))
     if stream_chunk < 1:
         raise SystemExit(f"TPU.STREAM_CHUNK must be >= 1, got {stream_chunk}")
+    # TPU.STREAM_DTYPE: bfloat16 halves the transfer bytes of the
+    # streaming tiers (the tunnel-ingest bottleneck; PERF.md r5)
+    _sd = str(config.TPU.get("STREAM_DTYPE", "float32")).lower()
+    if _sd not in ("float32", "bfloat16"):
+        raise SystemExit(
+            f"TPU.STREAM_DTYPE must be float32 or bfloat16, got {_sd!r}"
+        )
+    stream_dtype = jnp.bfloat16 if _sd == "bfloat16" else None
+    if stream_dtype is not None and not stream and primary:
+        print("[reni_tpu] TPU.STREAM_DTYPE ignored without TPU.STREAM_DATA")
     if stream_chunk > 1 and not stream and primary:
         print("[reni_tpu] TPU.STREAM_CHUNK ignored without TPU.STREAM_DATA")
     # TPU.PRECOMPILE: compile later curriculum stages in the background
@@ -513,6 +524,7 @@ def run_task(
             reaugment=reaugment,
             stream=stream,
             stream_chunk=stream_chunk,
+            stream_dtype=stream_dtype,
             precompile=precompile,
         )
 

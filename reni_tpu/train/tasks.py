@@ -499,7 +499,33 @@ def run_stage(
     return state, merged
 
 
-def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = False):
+class _CastRows:
+    """ndarray-like view casting rows to a narrower dtype at fetch time
+    (``TPU.STREAM_DTYPE: bfloat16``). Streaming through the tunneled chip
+    is TRANSFER-bound: host->device bytes stall the dispatch pipeline at
+    ~40 ms/MB regardless of overlap (PERF.md r5 stall profile), so halving
+    the bytes per sample doubles the streaming throughput ceiling. Wraps
+    either a host ndarray or a DiskRowSource (prefetch passes through)."""
+
+    def __init__(self, source, dtype):
+        self._src = source
+        self.shape = source.shape
+        self.dtype = dtype
+        pre = getattr(source, "prefetch", None)
+        if pre is not None:
+            self.prefetch = pre
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, rows):
+        return np.asarray(self._src[rows]).astype(self.dtype)
+
+
+def streaming_stage_runner(
+    mesh=None, chunk: int = 1, shard_latents: bool = False,
+    stream_dtype=None,
+):
     """A drop-in for ``run_stage`` that keeps the dataset on the HOST and
     transfers one batch per optimizer step — for datasets larger than
     device HBM (``TPU.STREAM_DATA``). Double-buffered: the step dispatch
@@ -543,9 +569,15 @@ def streaming_stage_runner(mesh=None, chunk: int = 1, shard_latents: bool = Fals
         # host-resident source of truth: an ndarray, or an out-of-core
         # row source (data.datasets.DiskRowSource — decodes rows from disk
         # on demand; `prefetch` marks it and pipelines the decode)
+        if getattr(images, "prefetch", None) is None:
+            images = np.asarray(images)
+        if stream_dtype is not None and images.dtype != stream_dtype:
+            # narrow the TRANSFER dtype only (targets quantize; the step's
+            # loss math stays f32 after promotion) — the tunnel ingest is
+            # the streaming bottleneck and scales with bytes
+            images = _CastRows(images, stream_dtype)
         pre = getattr(images, "prefetch", None)
         if pre is None:
-            images = np.asarray(images)
             pre = lambda rows: None
         dataset_size = images.shape[0]
         if mesh is not None:
@@ -747,6 +779,7 @@ def fit_task(
     shard_latents: bool = False,
     stream: bool = False,
     stream_chunk: int = 1,
+    stream_dtype=None,
     precompile: bool = False,
 ) -> tuple[Params, dict]:
     """Run a full task with its multi-resolution curriculum.
@@ -787,7 +820,8 @@ def fit_task(
         # stream_chunk > 1 scans K batches per dispatch (TPU.STREAM_CHUNK);
         # shard_latents row-shards the latent tables like the resident path.
         stage_runner = streaming_stage_runner(
-            mesh, chunk=stream_chunk, shard_latents=shard_latents
+            mesh, chunk=stream_chunk, shard_latents=shard_latents,
+            stream_dtype=stream_dtype,
         )
         if mesh is not None:
             from reni_tpu.parallel.mesh import pad_batch_to

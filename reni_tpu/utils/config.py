@@ -227,6 +227,13 @@ _DEFAULTS = {
         # instead of 1. Rounded down to the largest divisor of the
         # per-epoch batch count (keeps chunks epoch-aligned).
         "STREAM_CHUNK": 1,
+        # transfer dtype for the streaming tiers (float32 | bfloat16).
+        # Streaming through a tunneled chip is TRANSFER-bound (~40 ms of
+        # dispatch-pipeline stall per transferred MB regardless of
+        # overlap — PERF.md r5 stall profile), so bfloat16 targets double
+        # the streaming throughput ceiling at the cost of quantizing the
+        # regression targets (loss math stays f32 after promotion).
+        "STREAM_DTYPE": "float32",
         # compile LATER curriculum stages' whole-stage programs in
         # background threads while the current stage trains
         # (train/precompile.py) — published chains on tunneled chips are

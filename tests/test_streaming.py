@@ -522,3 +522,46 @@ def test_streaming_with_reaugment():
         np.asarray(m_stream["fit_decoder_loss"]),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_streaming_bf16_transfer_dtype():
+    """TPU.STREAM_DTYPE=bfloat16 halves the transfer bytes: the staged
+    batches are bf16 (targets quantized) and the optimizer trajectory
+    tracks the f32 tier to quantization error — on an ndarray source and
+    composing with a DiskRowSource-style prefetching source."""
+    model, step_fn, state, images, B = _setup()
+
+    run_f32 = tasks.streaming_stage_runner()
+    sf, mf = run_f32(step_fn, state, images, 2, B)
+
+    run_bf16 = tasks.streaming_stage_runner(stream_dtype=jnp.bfloat16)
+    sb, mb = run_bf16(step_fn, state, images, 2, B)
+    # close, not equal: bf16 targets differ at ~1e-2 relative
+    np.testing.assert_allclose(
+        np.asarray(mb["loss"]), np.asarray(mf["loss"]), rtol=2e-2
+    )
+    _trees_close(sb.trainable, sf.trainable, 5e-2)
+
+    # the wrapper really narrows the staged rows
+    cast = tasks._CastRows(images, jnp.bfloat16)
+    assert cast[np.array([0, 1])].dtype == jnp.bfloat16
+    assert cast.shape == images.shape
+
+    # prefetch passthrough for out-of-core sources
+    class FakeSrc:
+        shape = images.shape
+        dtype = images.dtype
+
+        def __init__(self):
+            self.prefetched = []
+
+        def prefetch(self, rows):
+            self.prefetched.append(np.asarray(rows))
+
+        def __getitem__(self, rows):
+            return images[rows]
+
+    src = FakeSrc()
+    wrapped = tasks._CastRows(src, jnp.bfloat16)
+    wrapped.prefetch(np.array([1, 2]))
+    assert src.prefetched and wrapped[np.array([1])].dtype == jnp.bfloat16

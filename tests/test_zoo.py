@@ -25,7 +25,7 @@ def test_zoo_matrix_covers_reference_axes():
     (run.py:44-49): both conditionings, more than one latent capacity, and
     both dynamic ranges — every entry named by the reference scheme."""
     models = assets.zoo_models()
-    assert len(models) >= 4, sorted(models)
+    assert len(models) >= 6, sorted(models)
     for name, d in models.items():
         assert name.startswith("latent_dim_"), name
         assert os.path.isfile(os.path.join(d, "checkpoint.npz"))
@@ -35,6 +35,12 @@ def test_zoo_matrix_covers_reference_axes():
     assert any("_film_" in n for n in models)
     assert any(n.endswith("_hdr") for n in models)
     assert any(n.endswith("_ldr") for n in models)
+    # both model types and both output activations (reference run.py:44-49
+    # naming spans {vad,ad} and {tanh,exp})
+    assert any("_vad_" in n for n in models)
+    assert any("_ad_" in n for n in models)
+    assert any("_tanh_" in n for n in models)
+    assert any("_exp_" in n for n in models)
     dims = {n.split("_")[2] for n in models}
     assert len(dims) >= 2, dims
 
@@ -75,7 +81,10 @@ def test_zoo_checkpoints_decode():
         out = np.asarray(model.apply(params, Z, D))
         assert out.shape == (2, 512, 3), name
         assert np.isfinite(out).all(), name
-        assert np.abs(out).max() <= 1.0 + 1e-5, name  # tanh output
+        if cfg.output_activation == "tanh":
+            assert np.abs(out).max() <= 1.0 + 1e-5, name
+        elif cfg.output_activation == "exp":
+            assert out.min() > 0.0, name  # linear radiance
         # a trained decoder is not the constant function
         assert out.std() > 1e-3, name
 
@@ -108,7 +117,9 @@ def test_zoo_artifacts_match_checkpoint_decode():
         fn = serve.load_exported(os.path.join(d, "decoder.jaxexport"))
         got = np.asarray(fn(Z, D))
         want = np.asarray(model.apply({"decoder": params["decoder"]}, Z, D))
-        np.testing.assert_allclose(got, want, atol=2e-5, rtol=0, err_msg=name)
+        # exp-activation radiance is unbounded, so the bound is relative
+        # there; tanh entries keep the tight absolute bound
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5, err_msg=name)
 
 
 def test_zoo_partial_load_notebook_recipe():
