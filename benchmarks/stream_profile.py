@@ -75,6 +75,7 @@ def main():
     x = tiny(x).block_until_ready()  # compile
     dt, _ = benchmark_fn(tiny, x, n=20)
     results["null_dispatch_ms"] = round(dt * 1e3, 3)
+    print("null_dispatch", results["null_dispatch_ms"], flush=True)
 
     # --- device_put bandwidth -------------------------------------------
     batch_host = np.ascontiguousarray(images[idx[0]])
@@ -92,6 +93,7 @@ def main():
             "ms": round(per * 1e3, 2),
             "MB_per_s": round(arr.nbytes / per / 1e6, 1),
         }
+        print(name, results[name], flush=True)
 
     # --- host gather ------------------------------------------------------
     t0 = time.perf_counter()
@@ -99,6 +101,7 @@ def main():
     for k in range(n):
         _ = images[idx[k % nb]]
     results["host_gather_ms"] = round((time.perf_counter() - t0) / n * 1e3, 3)
+    print("host_gather", results["host_gather_ms"], flush=True)
 
     # --- jitted step on a staged batch (dependent chain) ----------------
     jstep = jax.jit(step_fn)
@@ -109,6 +112,7 @@ def main():
     jax.block_until_ready(st)  # compile
     dt, _ = benchmark_fn(lambda s: jstep(s, (buf, idx_d, bm_d))[0], st, n=10)
     results["staged_step_ms"] = round(dt * 1e3, 2)
+    print("staged_step", results["staged_step_ms"], flush=True)
 
     # --- one unpipelined streaming step (serialized phases) -------------
     t0 = time.perf_counter()
@@ -123,6 +127,7 @@ def main():
     results["serialized_stream_step_ms"] = round(
         (time.perf_counter() - t0) / n * 1e3, 2
     )
+    print("serialized_stream_step", results["serialized_stream_step_ms"], flush=True)
 
     # --- the production double-buffered runner over 2 epochs ------------
     run1 = tasks.streaming_stage_runner()

@@ -94,10 +94,11 @@ class RENIConfig:
     use_pallas: bool = False  # fused trunk kernel for Cond-by-Concat decoders
     pallas_trunk: str = "bfloat16"  # bfloat16 | float32 matmul inputs
     # first-layer weight init bound multiplier (reference: U(+-1/in),
-    # RENI.py:79). The SO2 input width grows as N^2, which *shrinks* the
-    # first-layer pre-activation std ~ sqrt(1/in) and starves sin(30x) of
-    # frequency coverage at large N — scale ~ sqrt(in(N)/in(49)) (2.0 at
-    # N=100) restores the flagship activation scale. 1.0 = reference init.
+    # RENI.py:79). 1.0 = reference init. The r4 on-chip A/B measured NO
+    # effect from the once-hypothesised activation-scale correction
+    # (N=100/100-map chain, scale 2.0: 7.11 dB vs 7.07 baseline —
+    # PERF.md "FIRST_LAYER_INIT_SCALE A/B"); the knob stays for
+    # experimentation, with no recommended non-default value.
     first_layer_init_scale: float = 1.0
     # polynomial sine (core/fastmath.py): ~3.6e-6 abs error, 2-4x faster
     # trunk on TPU (the sine, not the matmul, dominates the hot path); off by
