@@ -1291,3 +1291,340 @@ def fused_step_mse(
             tm, trunk, interpret, fast_sine, output_activation, gscale,
         )
     return kernel(d_pad, a_pad, b0, ws, bs, wf_pad, bf_pad, tgt, sw, bm)
+
+
+def _film_step_kernel(
+    d_ref, a0_ref, ws_ref, bs_ref, wf_ref, bf_ref, fr_ref, ph_ref,
+    tgt_ref, sw_ref, bm_ref,
+    mse_ref, da0_ref, dws_ref, dbs_ref, dwf_ref, dbf_ref, dfr_ref, dph_ref,
+    *, n_trunk, hidden, trunk_dtype, sincos, out_act, gscale,
+):
+    """FiLM variant of _step_kernel: forward + weighted-MSE partials +
+    full backward (incl. freq/phase modulation grads) in one launch."""
+    b = pl.program_id(0)
+    pt = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, pt == 0))
+    def _():
+        mse_ref[...] = jnp.zeros_like(mse_ref)
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+        dbs_ref[...] = jnp.zeros_like(dbs_ref)
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dbf_ref[...] = jnp.zeros_like(dbf_ref)
+
+    @pl.when(pt == 0)
+    def _():
+        da0_ref[...] = jnp.zeros_like(da0_ref)
+        dfr_ref[...] = jnp.zeros_like(dfr_ref)
+        dph_ref[...] = jnp.zeros_like(dph_ref)
+
+    d = d_ref[0]
+    f = fr_ref[0, 0]
+    p = ph_ref[0, 0]
+
+    pres, hs, coss = [], [], []
+    for i in range(n_trunk):
+        lo = i * hidden
+        fi, pi = f[lo : lo + hidden], p[lo : lo + hidden]
+        pre = (
+            _matmul(d, a0_ref[0], trunk_dtype)
+            if i == 0
+            else _matmul(hs[-1], ws_ref[i - 1], trunk_dtype)
+        ) + bs_ref[i]
+        h, c = sincos(fi * pre + pi)
+        pres.append(pre)
+        hs.append(h)
+        coss.append(c)
+    o = _matmul(hs[-1], wf_ref[...], trunk_dtype) + bf_ref[0]
+
+    if out_act == "tanh":
+        out = jnp.tanh(o)
+        dact = 1.0 - out * out
+    elif out_act == "exp":
+        out = jnp.exp(o)
+        dact = out
+    else:
+        out = o
+        dact = None
+
+    swm = sw_ref[0] * bm_ref[0]
+    r = out - tgt_ref[0]
+    rs = r * swm
+    mse_ref[...] += jnp.sum(rs * r, axis=0, keepdims=True)
+    g = (2.0 * gscale) * rs
+    if dact is not None:
+        g = g * dact
+
+    dwf_ref[...] += _dot(hs[-1], g, ((0,), (0,)), trunk_dtype)
+    dbf_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    dh = _dot(g, wf_ref[...], ((1,), (1,)), trunk_dtype)
+
+    for i in reversed(range(n_trunk)):
+        lo = i * hidden
+        fi = f[lo : lo + hidden]
+        dmod = dh * coss[i]  # d/d(f*pre + p)
+        dfr_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod * pres[i], axis=0)
+        dph_ref[0, 0, lo : lo + hidden] += jnp.sum(dmod, axis=0)
+        dz = dmod * fi
+        dbs_ref[i] += jnp.sum(dz, axis=0)
+        if i == 0:
+            da0_ref[0] += _dot(d, dz, ((0,), (0,)), trunk_dtype)
+        else:
+            dws_ref[i - 1] += _dot(hs[i - 1], dz, ((0,), (0,)), trunk_dtype)
+            dh = _dot(dz, ws_ref[i - 1], ((1,), (1,)), trunk_dtype)
+
+
+def _film_step_call_builder(
+    n_trunk: int,
+    hidden: int,
+    *,
+    out_act: str | None,
+    gscale: float,
+    tile: int = 512,
+    trunk_dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+    fast_sine: bool = False,
+):
+    """step_call(d_pad, A0 (B, 8, H), Ws (T-1, H, H), bs (T, H), Wf (H, 8),
+    bf (1, 8), freqs (B, 1, T*H), phases (B, 1, T*H), tgt (B, npix, 8),
+    sw (1, npix, 8), bm (B, 1, 8))
+    -> (mse_row (1, 8), dA0, dWs, dbs, dWf, dbf, dfreqs, dphases)."""
+    from reni_tpu.core.fastmath import sincos_fns
+
+    kw = dict(
+        n_trunk=n_trunk, hidden=hidden, trunk_dtype=trunk_dtype,
+        sincos=sincos_fns(fast_sine), out_act=out_act, gscale=gscale,
+    )
+
+    def step_call(d_pad, a0, ws, bs, wf, bf, fr, ph, tgt, sw, bm):
+        empty_ws = ws.shape[0] == 0
+        real_ws_shape = ws.shape
+        if empty_ws:
+            ws = jnp.zeros((1,) + ws.shape[1:], ws.dtype)
+        batch, npix = a0.shape[0], d_pad.shape[1]
+        tm = min(tile, npix)
+        assert npix % tm == 0, (npix, tm)
+        grid = (batch, npix // tm)
+        d_idx = (
+            (lambda b, p: (b, p, 0))
+            if d_pad.shape[0] > 1
+            else (lambda b, p: (0, p, 0))
+        )
+        th = n_trunk * hidden
+        outs = pl.pallas_call(
+            functools.partial(_film_step_kernel, **kw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tm, K_PAD), d_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, th), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, th), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tm, C_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tm, C_PAD), lambda b, p: (0, p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, C_PAD), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, C_PAD), lambda b, p: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K_PAD, hidden), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, th), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, th), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, C_PAD), jnp.float32),
+                jax.ShapeDtypeStruct(a0.shape, jnp.float32),
+                jax.ShapeDtypeStruct(ws.shape, jnp.float32),
+                jax.ShapeDtypeStruct(bs.shape, jnp.float32),
+                jax.ShapeDtypeStruct(wf.shape, jnp.float32),
+                jax.ShapeDtypeStruct(bf.shape, jnp.float32),
+                jax.ShapeDtypeStruct(fr.shape, jnp.float32),
+                jax.ShapeDtypeStruct(ph.shape, jnp.float32),
+            ),
+            interpret=interpret,
+        )(d_pad, a0, ws, bs, wf, bf, fr, ph, tgt, sw, bm)
+        if empty_ws:
+            outs = outs[:2] + (outs[2][:0].reshape(real_ws_shape),) + outs[3:]
+        return outs
+
+    return step_call
+
+
+def _wrap_film_step_vjp(step_call, gscale: float):
+    """custom_vjp around a FiLM step_call (same primal-pass-gradients
+    trick as _wrap_step_vjp)."""
+
+    @jax.custom_vjp
+    def fused(d_pad, a0, ws, bs, wf, bf, fr, ph, tgt, sw, bm):
+        mse_row = step_call(d_pad, a0, ws, bs, wf, bf, fr, ph, tgt, sw, bm)[0]
+        return jnp.sum(mse_row) * gscale
+
+    def fused_fwd(d_pad, a0, ws, bs, wf, bf, fr, ph, tgt, sw, bm):
+        outs = step_call(d_pad, a0, ws, bs, wf, bf, fr, ph, tgt, sw, bm)
+        mse_row, grads = outs[0], outs[1:]
+        return jnp.sum(mse_row) * gscale, (grads, d_pad, tgt, sw, bm)
+
+    def fused_bwd(res, ct):
+        (da0, dws, dbs, dwf, dbf, dfr, dph), d_pad, tgt, sw, bm = res
+        return (
+            jnp.zeros_like(d_pad),
+            ct * da0, ct * dws, ct * dbs, ct * dwf, ct * dbf,
+            ct * dfr, ct * dph,
+            jnp.zeros_like(tgt), jnp.zeros_like(sw), jnp.zeros_like(bm),
+        )
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=16)
+def _get_film_step_kernel(
+    n_trunk, hidden, tile, trunk, interpret, fast_sine, out_act, gscale,
+):
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
+    call = _film_step_call_builder(
+        n_trunk, hidden, out_act=out_act, gscale=gscale, tile=tile,
+        trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
+    )
+    return _wrap_film_step_vjp(call, gscale)
+
+
+@functools.lru_cache(maxsize=16)
+def _get_film_step_kernel_sharded(
+    mesh, n_trunk, hidden, tile, trunk, interpret, fast_sine, out_act,
+    gscale, d_batched,
+):
+    """shard_map-partitioned FiLM train step (collective plan identical
+    to make_fused_film_sharded, plus the loss-partial psum)."""
+    from jax.sharding import PartitionSpec as P
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}[trunk]
+    call = _film_step_call_builder(
+        n_trunk, hidden, out_act=out_act, gscale=gscale, tile=tile,
+        trunk_dtype=dtype, interpret=interpret, fast_sine=fast_sine,
+    )
+    dn, px = _mesh_axes(mesh)
+    d_spec = P(dn if d_batched else None, px, None)
+    per_image = P(dn)
+    rep = P()
+    in_specs = (
+        d_spec, per_image, rep, rep, rep, rep, per_image, per_image,
+        P(dn, px, None), P(None, px, None), per_image,
+    )
+    both = tuple(ax for ax in (dn, px) if ax is not None)
+
+    def inner(d_pad, a0, ws, bs, wf, bf, fr, ph, tgt, sw, bm):
+        mse_row, da0, dws, dbs, dwf, dbf, dfr, dph = call(
+            d_pad, a0, ws, bs, wf, bf, fr, ph, tgt, sw, bm
+        )
+        if px is not None:
+            da0 = jax.lax.psum(da0, px)
+            dfr = jax.lax.psum(dfr, px)
+            dph = jax.lax.psum(dph, px)
+        if both:
+            mse_row, dws, dbs, dwf, dbf = (
+                jax.lax.psum(x, both) for x in (mse_row, dws, dbs, dwf, dbf)
+            )
+        return mse_row, da0, dws, dbs, dwf, dbf, dfr, dph
+
+    sm = jax.shard_map(
+        inner, mesh=mesh, in_specs=in_specs,
+        out_specs=(rep, per_image, rep, rep, rep, rep, per_image, per_image),
+        check_vma=False,
+    )
+    return _wrap_film_step_vjp(sm, gscale)
+
+
+def fused_film_step_mse(
+    params,
+    equivariance: str,
+    Z,
+    D,
+    targets,
+    sineweight,
+    bmask,
+    *,
+    hidden_layers: int,
+    hidden_features: int,
+    out_features: int,
+    output_activation: str | None,
+    tile: int = 512,
+    trunk: str = "bfloat16",
+    interpret: bool | None = None,
+    fast_sine: bool = False,
+):
+    """FiLM analog of fused_step_mse: the FIT_DECODER weighted MSE through
+    one pallas launch (mapping network stays in XLA, tiny per-image)."""
+    from reni_tpu.core import encodings
+    from reni_tpu.models import film as film_lib
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile = _env_tile(tile)
+    d_feats = encodings.d_features(equivariance, D)
+    npix = d_feats.shape[1]
+    mesh, n_px, sharded = _kernel_mesh_info()
+    reason = unsupported_reason(
+        npix, hidden_features, batch=Z.shape[0], tile=tile, mesh=mesh
+    )
+    if reason:
+        raise ValueError(f"unsupported shapes for pallas film step: {reason}")
+    tm = pick_tile(npix // n_px, tile)
+
+    parts = encodings.z_parts(equivariance, Z)
+    fr, ph = film_lib.apply_mapping_network(
+        params["mapping"], parts["bias_feats"]
+    )
+    fr = (fr * 15.0 + 30.0)[:, None, :]
+    ph = ph[:, None, :]
+
+    layer0 = params["layers"][0]
+    w0 = layer0["w"]
+    if equivariance == "SO2":
+        a0 = jnp.einsum("bcn,nh->bch", parts["proj"], w0[2:])
+        a0 = jnp.concatenate(
+            (a0, jnp.broadcast_to(w0[:2][None], (a0.shape[0], 2, w0.shape[1]))),
+            axis=1,
+        )
+    else:
+        a0 = jnp.einsum("bcn,nh->bch", parts["proj"], w0)
+    a0_pad = jnp.pad(a0, ((0, 0), (0, K_PAD - a0.shape[1]), (0, 0)))
+    d_pad = jnp.pad(d_feats, ((0, 0), (0, 0), (0, K_PAD - d_feats.shape[-1])))
+
+    n_trunk = hidden_layers
+    ws = (
+        jnp.stack([l["w"] for l in params["layers"][1:]])
+        if n_trunk > 1
+        else jnp.zeros((0, hidden_features, hidden_features))
+    )
+    bs = jnp.stack([l["b"] for l in params["layers"]])
+    wf = jnp.pad(params["final"]["w"], ((0, 0), (0, C_PAD - out_features)))
+    bf = jnp.pad(params["final"]["b"], ((0, C_PAD - out_features),))[None]
+
+    c = targets.shape[-1]
+    tgt = jnp.pad(targets, ((0, 0), (0, 0), (0, C_PAD - c)))
+    sw = jnp.pad(sineweight, ((0, 0), (0, 0), (0, C_PAD - sineweight.shape[-1])))
+    bm = jnp.broadcast_to(
+        bmask[:, None, None].astype(jnp.float32),
+        (bmask.shape[0], 1, C_PAD),
+    )
+    gscale = 1.0 / float(npix * out_features)
+
+    if sharded:
+        kernel = _get_film_step_kernel_sharded(
+            mesh, n_trunk, hidden_features, tm, trunk, interpret, fast_sine,
+            output_activation, gscale, d_feats.shape[0] > 1,
+        )
+    else:
+        kernel = _get_film_step_kernel(
+            n_trunk, hidden_features, tm, trunk, interpret, fast_sine,
+            output_activation, gscale,
+        )
+    return kernel(d_pad, a0_pad, ws, bs, wf, bf, fr, ph, tgt, sw, bm)

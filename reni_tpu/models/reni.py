@@ -350,9 +350,7 @@ class RENIModel:
         cfg = self.config
         if not cfg.use_pallas:
             return "TPU.USE_PALLAS off"
-        if cfg.is_film:
-            return "FiLM trunk uses the two-kernel fused path"
-        if not cfg.last_layer_linear:
+        if not cfg.is_film and not cfg.last_layer_linear:
             return "last_layer_linear=False uses the XLA path"
         from reni_tpu.kernels.siren_pallas import unsupported_reason
 
@@ -367,6 +365,24 @@ class RENIModel:
         kernels.siren_pallas._step_kernel). Callers must have checked
         ``fused_step_reason`` is None."""
         cfg = self.config
+        if cfg.is_film:
+            from reni_tpu.kernels.siren_pallas import fused_film_step_mse
+
+            return fused_film_step_mse(
+                params["decoder"],
+                cfg.equivariance,
+                Z,
+                D,
+                targets,
+                sineweight,
+                bmask,
+                hidden_layers=cfg.hidden_layers,
+                hidden_features=cfg.hidden_features,
+                out_features=cfg.out_features,
+                output_activation=cfg.output_activation,
+                trunk=cfg.pallas_trunk,
+                fast_sine=cfg.fast_sine,
+            )
         from reni_tpu.kernels.siren_pallas import fused_step_mse
 
         return fused_step_mse(

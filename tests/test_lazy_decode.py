@@ -183,3 +183,39 @@ def test_fit_task_from_disk_end_to_end(ldr_dir):
         np.testing.assert_allclose(
             np.asarray(m_res[k]), np.asarray(m_disk[k]), atol=1e-5, rtol=1e-5
         )
+
+
+def test_disk_row_source_memory_stays_bounded(tmp_path):
+    """The out-of-core contract: DiskRowSource retains at most
+    ``_cache_rows`` decoded rows however many batches stream through it
+    (the r4 115 GB RSS investigation re-measured this layer as flat at
+    ~850 MB over 300 full-res bighbm steps — this pins the mechanism).
+    The LRU cap only grows to 4x the largest single request."""
+    import numpy as np
+
+    from reni_tpu.data import exr
+    from reni_tpu.data.datasets import EnvironmentMapDataset
+
+    rng = np.random.default_rng(0)
+    n = 24
+    for i in range(n):
+        exr.write(
+            str(tmp_path / f"i{i:03d}.exr"),
+            np.abs(rng.normal(size=(8, 16, 3))).astype(np.float32),
+            pixel_type="float",
+        )
+    ds = EnvironmentMapDataset(str(tmp_path), is_hdr=True, lazy=True)
+    src = ds.row_source_at((8, 16))
+    src._cache_rows = 8  # tiny cap to exercise eviction
+    B = 4
+    for step in range(50):  # many epochs over the 6 batches
+        rows = np.arange(step * B, step * B + B) % n
+        src.prefetch((rows + B) % n)
+        out = src[rows]
+        assert out.shape == (B, 8 * 16, 3)
+        assert len(src._cache) <= src._cache_rows, (step, len(src._cache))
+    # the cap grew only to 4x the request size, not with the step count
+    assert src._cache_rows == max(8, 4 * B)
+    # every retained entry is a completed (bounded-size) row, no futures
+    # piling beyond the cap
+    assert src.decodes >= n  # really re-decoded evicted rows

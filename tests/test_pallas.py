@@ -477,3 +477,108 @@ def test_fit_decoder_step_fused_matches_xla_path():
             sf.trainable,
             sx.trainable,
         )
+
+
+@pytest.mark.parametrize("layers", [1, 3])
+def test_fused_film_step_loss_and_grads_match_reference(layers):
+    """FiLM fused_film_step_mse == weighted_mse(model.apply(...)) — value
+    and gradients (incl. mapping-network grads through freqs/phases),
+    with a zero-masked ragged row and the single-trunk-layer edge."""
+    from reni_tpu.kernels.siren_pallas import fused_film_step_mse
+    from reni_tpu.train import losses
+
+    model, params, Z, D = _setup_film(L=layers)
+    cfg = model.config
+    rng = np.random.default_rng(5)
+    B, P = Z.shape[0], D.shape[1]
+    tgt = jnp.asarray(rng.normal(size=(B, P, 3)).astype(np.float32))
+    sw = jnp.asarray(np.abs(rng.normal(size=(1, P, 3))).astype(np.float32))
+    bm = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+
+    def loss_fused(dec, z):
+        return fused_film_step_mse(
+            dec, cfg.equivariance, z, D, tgt, sw, bm,
+            hidden_layers=cfg.hidden_layers,
+            hidden_features=cfg.hidden_features,
+            out_features=cfg.out_features,
+            output_activation=cfg.output_activation,
+            trunk="float32", interpret=True,
+        )
+
+    def loss_ref(dec, z):
+        out = model.apply({"decoder": dec, "latents": params["latents"]}, z, D)
+        return losses.weighted_mse(out, tgt, sw * bm[:, None, None])
+
+    lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))(
+        params["decoder"], Z
+    )
+    lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        params["decoder"], Z
+    )
+    np.testing.assert_allclose(float(lf), float(lr), rtol=2e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=3e-6
+        ),
+        gf,
+        gr,
+    )
+
+
+def test_fit_decoder_step_fused_film_matches_xla_path():
+    """make_fit_decoder_step on a FiLM model dispatches to the FiLM fused
+    step and matches the XLA path (losses + updated params)."""
+    import dataclasses as dc
+
+    from reni_tpu.core import sphere
+    from reni_tpu.train import tasks
+    from reni_tpu.train.optim import OptimConfig, build_optimizer
+
+    cfg = RENIConfig(
+        model_type="VariationalAutoDecoder",
+        conditioning="FiLM",
+        equivariance="SO2",
+        latent_dim=5,
+        hidden_layers=2,
+        hidden_features=128,
+        mapping_layers=2,
+        mapping_features=64,
+        output_activation="tanh",
+        use_pallas=True,
+        pallas_trunk="float32",
+    )
+    model = RENIModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), dataset_size=4)
+    directions = sphere.get_directions(32)
+    sineweight = sphere.get_sineweight(32)
+    optimizer = build_optimizer(
+        OptimConfig(lr_start=1e-4, lr_end=1e-5, epochs=4, steps_per_epoch=1)
+    )
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.normal(size=(4, directions.shape[1], 3)).astype(np.float32)
+    )
+    batch = (
+        imgs,
+        jnp.asarray([0, 1, 2, 3], jnp.int32),
+        jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
+    )
+    step_fused = tasks.make_fit_decoder_step(
+        model, optimizer, directions, sineweight, kld_weighting=1e-4
+    )
+    model_xla = RENIModel(dataclasses.replace(cfg, use_pallas=False))
+    step_xla = tasks.make_fit_decoder_step(
+        model_xla, optimizer, directions, sineweight, kld_weighting=1e-4
+    )
+    st = tasks.init_train_state(model, params, optimizer, jax.random.PRNGKey(1))
+    sf, mf = step_fused(st, batch)
+    sx, mx = step_xla(st, batch)
+    for k in mf:
+        np.testing.assert_allclose(float(mf[k]), float(mx[k]), rtol=5e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        sf.trainable,
+        sx.trainable,
+    )
