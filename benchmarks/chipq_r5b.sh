@@ -44,7 +44,7 @@ train_loop() { # $1 total-seconds, rest = cli.run args; honors 114/115 reruns
       return 124
     fi
     RENI_TPU_HANG_EXIT_S=1200 RENI_TPU_MAX_SCAN_STEPS=300 \
-      RENI_TPU_CKPT_WALL_S=300 \
+      RENI_TPU_CKPT_WALL_S=300 RENI_TPU_RSS_EXIT_GB=60 \
       timeout "$left" $PY -m reni_tpu.cli.run "$@" --retries 6
     rc=$?
     log "train_loop attempt $n rc=$rc"

@@ -366,6 +366,29 @@ def run_task(
         # epoch-based terms are config-deterministic; the wall term is not
         return multihost.agree_on_flag(due)
 
+    # RENI_TPU_RSS_EXIT_GB: the tunneled transport client retains the host
+    # bytes of EVERY host->device transfer (measured r5: RSS grows at
+    # exactly the streamed-bytes rate; the r4 beyond-HBM run reached
+    # 115 GB this way). The data layer is bounded (DiskRowSource LRU,
+    # pinned by test), so the honest mitigation for the client leak is a
+    # planned restart: checkpoint, exit 114, let the relaunch loop resume
+    # with a fresh process. 0/unset = off.
+    rss_exit_gb = float(os.environ.get("RENI_TPU_RSS_EXIT_GB", "0") or 0)
+
+    def _rss_gb() -> float:
+        try:
+            pages = int(open("/proc/self/statm").read().split()[1])
+            return pages * os.sysconf("SC_PAGE_SIZE") / 1e9
+        except OSError:
+            return 0.0
+
+    def _rss_restart_due() -> bool:
+        from reni_tpu.parallel import multihost
+
+        return multihost.agree_on_flag(
+            rss_exit_gb > 0 and _rss_gb() > rss_exit_gb
+        )
+
     def callback(state_now, epoch, metrics_chunk, res):
         params_now = state_now.params
         loss = float(np.asarray(metrics_chunk["loss"])[-1])
@@ -388,6 +411,25 @@ def run_task(
             # TRAINER.MAX_RUNTIME exceeded: stop cleanly after this segment
             # (the reference declares this knob but never reads it)
             return True
+        if _rss_restart_due():
+            # transport-client leak mitigation: planned restart (see
+            # rss_exit_gb above) — save, exit 114, relaunch loop resumes
+            if config.TRAINER.CHKPTS.SAVE and not saved_here:
+                tracker.maybe_save(
+                    params_now, epoch, loss,
+                    opt_state=state_now.opt_state, rng_key=state_now.key,
+                )
+            rss = _rss_gb()
+            _log_event("rss_exit", rss_gb=round(rss, 1), epoch=epoch)
+            if primary:
+                print(
+                    f"[reni_tpu] RSS {rss:.1f} GB exceeds "
+                    f"RENI_TPU_RSS_EXIT_GB={rss_exit_gb:g} — the tunnel "
+                    "client retains transferred host bytes; checkpointed, "
+                    "exiting 114 for a fresh-process resume.",
+                    flush=True,
+                )
+            os._exit(114)
         if _yield_requested(stop_file):
             if config.TRAINER.CHKPTS.SAVE and not saved_here:
                 # off-schedule force-save so the yield loses zero epochs

@@ -533,3 +533,38 @@ def test_wall_clock_checkpoint_cadence(tmp_path, tiny_dataset, monkeypatch):
         if "fit_decoder_loss" in r
     }
     assert len(epochs) >= 10, sorted(epochs)  # every-5 alone gives 3
+
+
+def test_rss_exit_checkpoints_and_exits_114(tmp_path, tiny_dataset):
+    """RENI_TPU_RSS_EXIT_GB: when the process RSS exceeds the bound (the
+    tunnel transport client retains every transfer's host bytes — r5
+    measurement), the trainer checkpoints at the next segment boundary
+    and exits 114 so the relaunch loop resumes with a fresh process."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import yaml as _yaml
+
+    cfg = _tiny_config(tmp_path, tiny_dataset)
+    cfg.RENI.TASKS = ["FIT_DECODER"]
+    cfg_path = str(tmp_path / "rss.yaml")
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(cfg.to_dict(), f)
+    proc = subprocess.run(
+        [sys.executable, "-m", "reni_tpu.cli.run", "--cfg_path", cfg_path],
+        env={**os.environ, "RENI_TPU_RSS_EXIT_GB": "0.001",
+             "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"},
+        timeout=300, capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 114, proc.stdout[-500:] + proc.stderr[-500:]
+    assert "RENI_TPU_RSS_EXIT_GB" in proc.stdout
+    run_dirs = sorted((tmp_path / "runs").rglob("metrics.jsonl"))
+    assert run_dirs, list((tmp_path / "runs").rglob("*"))
+    events = [
+        _json.loads(l) for l in open(run_dirs[0]) if '"event"' in l
+    ]
+    assert any(e["event"] == "rss_exit" for e in events)
+    # a checkpoint exists to resume from
+    cks = list(run_dirs[0].parent.glob("checkpoints/*latest*"))
+    assert cks
