@@ -129,6 +129,24 @@ def main():
     )
     print("serialized_stream_step", results["serialized_stream_step_ms"], flush=True)
 
+    # --- transfer-stall sweep: an UNCONSUMED put of S bytes interleaved
+    # with staged steps isolates the tunnel's per-byte dispatch-pipeline
+    # stall (the r5 discovery: ~40-46 ms/MB regardless of consumption;
+    # PERF.md "streaming is TRANSFER-bound") ---------------------------------
+    for rows_n in (25, 100, 400):
+        arr = np.ascontiguousarray(images[:rows_n])
+        t0 = time.perf_counter()
+        s = st
+        n = 6
+        for k in range(n):
+            jax.device_put(arr)  # unconsumed: pure pipeline-stall cost
+            s, _ = jstep(s, (buf, idx_d, bm_d))
+        jax.block_until_ready(s.trainable["latents"]["mu"])
+        per = (time.perf_counter() - t0) / n * 1e3
+        key = f"stall_put{arr.nbytes >> 20}MB_step_ms"
+        results[key] = round(per, 1)
+        print(key, results[key], flush=True)
+
     # --- the production double-buffered runner over 2 epochs ------------
     run1 = tasks.streaming_stage_runner()
     s2, _ = run1(step_fn, state, images, 1, B)  # warm-up epoch (compiles)
