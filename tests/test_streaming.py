@@ -565,3 +565,20 @@ def test_streaming_bf16_transfer_dtype():
     wrapped = tasks._CastRows(src, jnp.bfloat16)
     wrapped.prefetch(np.array([1, 2]))
     assert src.prefetched and wrapped[np.array([1])].dtype == jnp.bfloat16
+
+
+def test_streaming_bf16_on_mesh():
+    """STREAM_DTYPE composes with the mesh staging path (put_rows feeds
+    the data/pixel-sharded fused step with bf16 batches)."""
+    model, step_fn, state, images, B = _setup(n_images=8, batch_size=4)
+    mesh = pmesh.make_mesh(n_data=4, n_pixel=2, n_model=1)
+
+    run_ref = tasks.streaming_stage_runner(mesh)
+    sr, mr = run_ref(step_fn, state, images, 2, B)
+
+    run_bf = tasks.streaming_stage_runner(mesh, stream_dtype=jnp.bfloat16)
+    sb, mb = run_bf(step_fn, state, images, 2, B)
+    np.testing.assert_allclose(
+        np.asarray(mb["loss"]), np.asarray(mr["loss"]), rtol=2e-2
+    )
+    _trees_close(sb.trainable, sr.trainable, 5e-2)
